@@ -1,0 +1,100 @@
+"""Fused, batched audio frontend: raw waveform batch -> model-ready log-mels.
+
+Replaces the reference's per-file chain ``librosa.load → melspectrogram →
+power_to_db → standardize → crop_or_pad_time`` (``map_detector_core.py:198-237``)
+with a single jit-compiled function over a [B, L] waveform batch that XLA
+fuses end-to-end on TPU: framing gather → windowed-DFT matmul (MXU) → mel
+matmul (MXU) → log/standardize (VPU, fused elementwise).
+
+Two modes:
+
+- ``parity=True`` (default): bit-faithful op order. The STFT covers the FULL
+  clip; dB reference (per-example max), the 80 dB floor, and the global
+  mean/std standardization are computed over all frames *before* the center
+  crop to ``target_frames`` — exactly the reference order, which makes latents
+  match within float tolerance.
+- ``parity=False``: computes only the ``target_frames`` frames that survive
+  the crop (~3.3× fewer STFT/mel FLOPs for 5 s clips) and takes dB ref and
+  standardization statistics over that window. Statistically equivalent for
+  detection, not bit-identical; used by the streaming soundscape path.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from anuraxla.constants import RMS_EPS, RMS_SILENCE_GATE, RMS_TARGET, MelConfig
+from anuraxla.ops.mel import crop_or_pad_time, mel_filterbank, power_to_db, standardize
+from anuraxla.ops.stft import stft_power
+
+
+def rms_normalize_batch(
+    y: jax.Array,
+    *,
+    target_rms: float = RMS_TARGET,
+    rms_min: float = RMS_SILENCE_GATE,
+    eps: float = RMS_EPS,
+) -> tuple[jax.Array, jax.Array]:
+    """Batched RMS normalization (``00_normalize_dataset_rms.py:29-38``).
+
+    y: [B, L]. Returns (y_norm, scaled_mask). Silent rows (rms < rms_min) pass
+    through unscaled, matching the reference's silence gate; scaled rows are
+    clipped to [-1, 1].
+    """
+    rms = jnp.sqrt(jnp.mean(y * y, axis=-1, keepdims=True))
+    scaled = rms >= rms_min
+    y_norm = jnp.clip(y * (target_rms / (rms + eps)), -1.0, 1.0)
+    out = jnp.where(scaled, y_norm, y)
+    return out, scaled[..., 0]
+
+
+@partial(jax.jit, static_argnames=("cfg", "parity", "backend"))
+def log_mel_batch(
+    y: jax.Array,
+    cfg: MelConfig,
+    *,
+    parity: bool = True,
+    backend: str = "matmul",
+) -> jax.Array:
+    """[B, num_samples] float32 waveforms -> [B, target_frames, n_mels] log-mels.
+
+    Input must already be cropped/padded to ``cfg.num_samples`` (the host-side
+    loader does this; it is a data-layout step, not math). Output is
+    time-major [T, M] — the encoder input layout (reference feeds [B,1,T,M],
+    ``map_detector_core.py:268``).
+    """
+    if y.ndim == 1:
+        y = y[None]
+    fb = jnp.asarray(mel_filterbank(cfg.sr, cfg.n_fft, cfg.n_mels, cfg.fmin, cfg.fmax))
+
+    if parity:
+        num_frames, first = cfg.total_frames, 0
+    else:
+        total = cfg.total_frames
+        num_frames = min(cfg.target_frames, total)
+        first = max(0, (total - cfg.target_frames) // 2)
+
+    P = stft_power(
+        y,
+        n_fft=cfg.n_fft,
+        hop_length=cfg.hop_length,
+        num_frames=num_frames,
+        first_frame=first,
+        backend=backend,  # type: ignore[arg-type]
+    )  # [B, T, F]
+    S = jnp.einsum(
+        "btf,fm->btm", P, fb,
+        preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+    )
+    S_db = power_to_db(S, amin=cfg.amin, top_db=cfg.top_db)
+    S_db = standardize(S_db)
+    return crop_or_pad_time(S_db, cfg.target_frames)
+
+
+def mel_to_encoder_input(mel_tm: jax.Array) -> jax.Array:
+    """[B, T, M] -> [B, T, M, 1] NHWC encoder input. (The reference uses NCHW
+    [B,1,T,M]; NHWC is the TPU-native conv layout.)"""
+    return mel_tm[..., None]
