@@ -1,0 +1,115 @@
+"""VAE training, the component the reference leaves as a TODO stub
+(``scripts/02_train_vae.sh``: "TODO" — no VAE training exists anywhere in the
+reference; its encoder is a pre-trained external artifact). A self-sufficient
+rebuild needs a real training path, so here it is: β-VAE objective on log-mel
+batches, optax AdamW, jit/pjit-able pure train step.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax.training import train_state
+
+from anuraxla.models.vae import ConvVAE, VAEConfig
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    learning_rate: float = 3e-4
+    weight_decay: float = 1e-4
+    beta: float = 1.0  # KL weight
+    warmup_steps: int = 200
+    total_steps: int = 10_000
+    batch_size: int = 64
+    seed: int = 0
+
+
+class TrainState(train_state.TrainState):
+    pass
+
+
+def kl_divergence(mu: jax.Array, logvar: jax.Array) -> jax.Array:
+    """KL(N(mu, sigma) || N(0, I)) per example."""
+    return 0.5 * jnp.sum(jnp.exp(logvar) + mu * mu - 1.0 - logvar, axis=-1)
+
+
+def vae_loss(
+    vae: ConvVAE,
+    params,
+    batch: jax.Array,
+    rng: jax.Array,
+    beta: float,
+) -> tuple[jax.Array, dict[str, jax.Array]]:
+    out = vae.apply(params, batch, rng=rng)
+    recon_err = jnp.mean((out["recon"] - batch) ** 2, axis=(1, 2, 3))
+    kl = kl_divergence(out["mu"], out["logvar"])
+    loss = jnp.mean(recon_err) + beta * jnp.mean(kl)
+    return loss, {"loss": loss, "recon": jnp.mean(recon_err), "kl": jnp.mean(kl)}
+
+
+def make_optimizer(tc: TrainConfig) -> optax.GradientTransformation:
+    sched = optax.warmup_cosine_decay_schedule(
+        init_value=0.0,
+        peak_value=tc.learning_rate,
+        warmup_steps=tc.warmup_steps,
+        decay_steps=max(tc.total_steps, tc.warmup_steps + 1),
+    )
+    return optax.adamw(sched, weight_decay=tc.weight_decay)
+
+
+def create_train_state(cfg: VAEConfig, tc: TrainConfig) -> tuple[ConvVAE, TrainState]:
+    vae = ConvVAE(cfg)
+    rng = jax.random.PRNGKey(tc.seed)
+    t, m = cfg.input_hw
+    params = vae.init({"params": rng}, jnp.zeros((1, t, m, 1), jnp.float32), rng=rng)
+    state = TrainState.create(apply_fn=vae.apply, params=params, tx=make_optimizer(tc))
+    return vae, state
+
+
+def make_train_step(vae: ConvVAE, beta: float) -> Callable[..., tuple[Any, dict]]:
+    """Pure (state, batch, rng) -> (state', metrics). Safe under jit/pjit:
+    no data-dependent Python control flow, static shapes only. Gradients are
+    computed with rematerialization-friendly structure (XLA handles the conv
+    remat automatically at this scale)."""
+
+    def step(state: TrainState, batch: jax.Array, rng: jax.Array):
+        rng = jax.random.fold_in(rng, state.step)
+
+        def loss_fn(p):
+            return vae_loss(vae, p, batch, rng, beta)
+
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        return state.apply_gradients(grads=grads), metrics
+
+    return step
+
+
+def train_loop(
+    cfg: VAEConfig,
+    tc: TrainConfig,
+    batch_iter,
+    *,
+    num_steps: int | None = None,
+    log_every: int = 50,
+    log_fn=print,
+):
+    """Single-host training loop over an iterator of [B, T, M, 1] batches.
+    Sharded multi-chip training lives in anuraxla.parallel.train_sharded."""
+    vae, state = create_train_state(cfg, tc)
+    step_fn = jax.jit(make_train_step(vae, tc.beta))
+    rng = jax.random.PRNGKey(tc.seed + 1)
+    n = num_steps if num_steps is not None else tc.total_steps
+    metrics = {}
+    for i, batch in enumerate(batch_iter):
+        if i >= n:
+            break
+        state, metrics = step_fn(state, jnp.asarray(batch), rng)
+        if log_every and (i % log_every == 0):
+            m = {k: float(v) for k, v in metrics.items()}
+            log_fn(f"step {i}: loss={m['loss']:.4f} recon={m['recon']:.4f} kl={m['kl']:.4f}")
+    return vae, state, {k: float(v) for k, v in metrics.items()}

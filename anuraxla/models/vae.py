@@ -1,0 +1,170 @@
+"""Conv VAE for log-mel spectrograms, TPU-first.
+
+Capability target: the reference's external "bird_net" VAE encoder — a
+pretrained torch nn.Module loaded via Hydra from a private package
+(``map_detector_core.py:150-179``) with shape contract input ``[B,1,T=192,M=64]``
+and a latent vector output probed from keys ``z/latent/mu/mean/embedding``
+(``map_detector_core.py:268-295``). The reference ships no architecture source
+and no training script (``scripts/02_train_vae.sh`` is a TODO stub), so this
+module supplies both: a self-contained Flax encoder/decoder pair and (in
+``anuraxla.models.train``) the training loop the reference lacks.
+
+TPU-first choices:
+- NHWC layout ``[B, T, M, C]`` (TPU conv native) instead of torch NCHW.
+- Channel widths in multiples of 8/128 where it matters; the flatten→dense
+  bottleneck is the single big MXU matmul.
+- GroupNorm (batch-size independent → same math at any data-parallel shard
+  size) instead of BatchNorm.
+- Optional bf16 compute dtype with f32 params.
+- The encoder returns a dict with ``z`` first, mirroring the reference's
+  output-key probing so downstream adapters work identically.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+@dataclasses.dataclass(frozen=True)
+class VAEConfig:
+    """Architecture hyperparameters. Defaults give a ~2.1 M-param encoder that
+    maps [B,192,64,1] -> 128-d latent."""
+
+    latent_dim: int = 128
+    widths: Sequence[int] = (32, 64, 128, 256)
+    dense_width: int = 512
+    groups: int = 8
+    input_hw: tuple[int, int] = (192, 64)  # (T, M)
+    dtype: Any = jnp.float32  # compute dtype; params stay f32
+
+    @property
+    def bottleneck_hw(self) -> tuple[int, int]:
+        t, m = self.input_hw
+        f = 2 ** len(self.widths)
+        return (t // f, m // f)
+
+
+class EncoderBlock(nn.Module):
+    width: int
+    groups: int
+    dtype: Any
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(self.width, (3, 3), strides=(2, 2), padding="SAME", dtype=self.dtype)(x)
+        x = nn.GroupNorm(num_groups=min(self.groups, self.width), dtype=self.dtype)(x)
+        x = nn.silu(x)
+        x = nn.Conv(self.width, (3, 3), strides=(1, 1), padding="SAME", dtype=self.dtype)(x)
+        x = nn.GroupNorm(num_groups=min(self.groups, self.width), dtype=self.dtype)(x)
+        return nn.silu(x)
+
+
+class ConvVAEEncoder(nn.Module):
+    """[B, T, M, 1] log-mel -> {"z", "mu", "logvar"}.
+
+    Deterministic (eval) calls return z == mu, matching how the reference
+    pipeline consumes its encoder: a single latent vector per chunk, with
+    ``mu`` as the embedding (``map_detector_core.py:279-288`` probes "z" then
+    "mu"; our dict satisfies the same contract).
+    """
+
+    cfg: VAEConfig
+
+    @nn.compact
+    def __call__(self, x, *, rng: jax.Array | None = None):
+        cfg = self.cfg
+        x = x.astype(cfg.dtype)
+        for w in cfg.widths:
+            x = EncoderBlock(w, cfg.groups, cfg.dtype)(x)
+        x = x.reshape(x.shape[0], -1)
+        x = nn.Dense(cfg.dense_width, dtype=cfg.dtype)(x)
+        x = nn.silu(x)
+        mu = nn.Dense(cfg.latent_dim, dtype=jnp.float32, name="head_mu")(x.astype(jnp.float32))
+        logvar = nn.Dense(cfg.latent_dim, dtype=jnp.float32, name="head_logvar")(x.astype(jnp.float32))
+        if rng is None:
+            z = mu
+        else:
+            z = mu + jnp.exp(0.5 * logvar) * jax.random.normal(rng, mu.shape, mu.dtype)
+        return {"z": z, "mu": mu, "logvar": logvar}
+
+
+class DecoderBlock(nn.Module):
+    width: int
+    groups: int
+    dtype: Any
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.ConvTranspose(self.width, (4, 4), strides=(2, 2), padding="SAME", dtype=self.dtype)(x)
+        x = nn.GroupNorm(num_groups=min(self.groups, self.width), dtype=self.dtype)(x)
+        x = nn.silu(x)
+        x = nn.Conv(self.width, (3, 3), strides=(1, 1), padding="SAME", dtype=self.dtype)(x)
+        x = nn.GroupNorm(num_groups=min(self.groups, self.width), dtype=self.dtype)(x)
+        return nn.silu(x)
+
+
+class ConvVAEDecoder(nn.Module):
+    """z [B, D] -> reconstructed log-mel [B, T, M, 1]."""
+
+    cfg: VAEConfig
+
+    @nn.compact
+    def __call__(self, z):
+        cfg = self.cfg
+        bt, bm = cfg.bottleneck_hw
+        w0 = cfg.widths[-1]
+        x = nn.Dense(cfg.dense_width, dtype=cfg.dtype)(z.astype(cfg.dtype))
+        x = nn.silu(x)
+        x = nn.Dense(bt * bm * w0, dtype=cfg.dtype)(x)
+        x = nn.silu(x).reshape(-1, bt, bm, w0)
+        for w in reversed(cfg.widths[:-1]):
+            x = DecoderBlock(w, cfg.groups, cfg.dtype)(x)
+        x = nn.ConvTranspose(16, (4, 4), strides=(2, 2), padding="SAME", dtype=cfg.dtype)(x)
+        x = nn.silu(x)
+        x = nn.Conv(1, (3, 3), padding="SAME", dtype=jnp.float32)(x.astype(jnp.float32))
+        return x
+
+
+class ConvVAE(nn.Module):
+    """Full VAE: encode (reparameterized), decode, return everything the
+    training loss needs."""
+
+    cfg: VAEConfig
+
+    def setup(self):
+        self.encoder = ConvVAEEncoder(self.cfg)
+        self.decoder = ConvVAEDecoder(self.cfg)
+
+    def __call__(self, x, *, rng: jax.Array | None = None):
+        enc = self.encoder(x, rng=rng)
+        recon = self.decoder(enc["z"])
+        return {"recon": recon, **enc}
+
+    def encode(self, x):
+        return self.encoder(x)
+
+
+def init_encoder(cfg: VAEConfig, seed: int = 0):
+    """Initialize encoder params for the standard input shape."""
+    enc = ConvVAEEncoder(cfg)
+    t, m = cfg.input_hw
+    params = enc.init(jax.random.PRNGKey(seed), jnp.zeros((1, t, m, 1), jnp.float32))
+    return enc, params
+
+
+def init_vae(cfg: VAEConfig, seed: int = 0):
+    vae = ConvVAE(cfg)
+    t, m = cfg.input_hw
+    rng = jax.random.PRNGKey(seed)
+    params = vae.init({"params": rng}, jnp.zeros((1, t, m, 1), jnp.float32), rng=rng)
+    return vae, params
+
+
+def encoder_params_from_vae(vae_params) -> Any:
+    """Extract the encoder subtree from full-VAE params (for serving)."""
+    return {"params": vae_params["params"]["encoder"]}
