@@ -19,6 +19,35 @@ Layer map (mirrors SURVEY.md §1 of this repo):
 
 __version__ = "0.1.0"
 
+import os as _os
+
+
+def _enable_compilation_cache() -> None:
+    """Persistent XLA compilation cache (opt IN: ANURAXLA_COMPILE_CACHE=1).
+
+    Opt-in rather than default: on hosts where TPU compilation is remote, the
+    cache can retain CPU AOT artifacts built for a different machine's CPU
+    features, which XLA then warns may SIGILL when loaded locally. Enable it
+    on normal single-machine TPU hosts, where it removes repeated multi-second
+    jit compiles across CLI processes."""
+    if not _os.environ.get("ANURAXLA_COMPILE_CACHE"):
+        return
+    try:
+        import jax
+
+        cache_dir = _os.environ.get(
+            "ANURAXLA_COMPILE_CACHE_DIR",
+            _os.path.join(_os.path.expanduser("~"), ".cache", "anuraxla_xla"),
+        )
+        _os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass  # cache is an optimization, never a requirement
+
+
+_enable_compilation_cache()
+
 from anuraxla.constants import (  # noqa: F401
     DEFAULT_MEL,
     PRIORITY_ORDER,

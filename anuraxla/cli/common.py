@@ -1,0 +1,98 @@
+"""Shared CLI plumbing: the mel/encoder/config flags every reference script
+duplicates (e.g. ``08:340-362``), defined once."""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+from typing import Optional
+
+from anuraxla.constants import MelConfig
+from anuraxla.utils.io import find_project_root, load_json, resolve_root_dir
+
+
+def add_mel_args(p: argparse.ArgumentParser, duration_default: Optional[float] = None) -> None:
+    p.add_argument("--sr", type=int, default=48000)
+    p.add_argument("--n-mels", type=int, default=64)
+    p.add_argument("--target-frames", type=int, default=192)
+    p.add_argument("--fmin", type=float, default=150.0)
+    p.add_argument("--fmax", type=float, default=15000.0)
+    p.add_argument("--hop-length", type=int, default=384)
+    p.add_argument("--n-fft", type=int, default=2048)
+    if duration_default is not None:
+        p.add_argument("--duration", type=float, default=duration_default)
+
+
+def add_device_arg(p: argparse.ArgumentParser) -> None:
+    p.add_argument(
+        "--device", type=str, default="auto",
+        help="'auto' uses the best available backend (TPU if present); "
+        "'cpu' forces CPU. (The reference defaulted to cpu; a TPU framework "
+        "defaults to the accelerator.)",
+    )
+
+
+def add_encoder_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument(
+        "--encoder", type=str, default=None,
+        help="encoder artifact dir (encoder.msgpack + encoder.json); defaults "
+        "to <project_root>/models/anuraxla_vae_encoder_v0, falling back to a "
+        "deterministic init if absent",
+    )
+    p.add_argument(
+        "--allow-init-encoder", action="store_true", default=True,
+        help=argparse.SUPPRESS,
+    )
+
+
+def add_batch_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--batch-size", type=int, default=64, help="device batch size")
+    p.add_argument("--io-threads", type=int, default=16, help="host decode threads")
+
+
+def apply_device(device: str) -> None:
+    if device == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    # 'auto' / anything else: leave the default backend (TPU when available)
+
+
+def mel_from_args(args, duration: float) -> MelConfig:
+    return MelConfig(
+        sr=args.sr,
+        duration=duration,
+        n_mels=args.n_mels,
+        fmin=args.fmin,
+        fmax=args.fmax,
+        hop_length=args.hop_length,
+        n_fft=args.n_fft,
+        target_frames=args.target_frames,
+    )
+
+
+def resolve_config(config_arg: str, project_root: Path) -> Path:
+    cfg_path = Path(config_arg)
+    if not cfg_path.is_absolute():
+        cfg_path = (project_root / cfg_path).resolve()
+    if not cfg_path.exists():
+        raise SystemExit(f"❌ config.json not found at: {cfg_path}")
+    return cfg_path
+
+
+def project_root_here() -> Path:
+    return find_project_root(Path.cwd())
+
+
+__all__ = [
+    "add_mel_args",
+    "add_device_arg",
+    "add_encoder_args",
+    "add_batch_args",
+    "apply_device",
+    "mel_from_args",
+    "resolve_config",
+    "project_root_here",
+    "resolve_root_dir",
+    "load_json",
+]

@@ -1,0 +1,92 @@
+"""``fit-map`` — fit the Gaussian MAP (LDA/QDA) detector (reference
+``08b_fit_map_detector.py`` CLI contract: same flags and config block).
+"""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+from anuraxla.cli.common import (
+    add_batch_args,
+    add_device_arg,
+    add_encoder_args,
+    add_mel_args,
+    apply_device,
+    mel_from_args,
+    project_root_here,
+    resolve_config,
+    resolve_root_dir,
+)
+from anuraxla.config import get_chunk_seconds
+from anuraxla.constants import CACHE_DIR_NAME
+from anuraxla.pipeline.fit import fit_map_tree
+from anuraxla.pipeline.session import EncoderSession
+from anuraxla.utils.io import load_json
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--config", type=str, default="config.json")
+    p.add_argument("--root", type=str, required=True)
+    add_device_arg(p)
+    add_mel_args(p)
+    add_encoder_args(p)
+    add_batch_args(p)
+    p.add_argument("--max-per-class", type=int, default=0)
+    p.add_argument("--seed", type=int, default=123)
+    p.add_argument("--cache", action="store_true")
+    p.add_argument("--cache-dir", type=str, default=None)
+    p.add_argument("--cov-type", type=str, default="lda", choices=["lda", "qda"])
+    p.add_argument("--cov-structure", type=str, default="full", choices=["full", "diag"])
+    p.add_argument("--priors", type=str, default="empirical", choices=["empirical", "uniform"])
+    p.add_argument("--eps", type=float, default=1e-6)
+    p.add_argument("--shrink", type=float, default=0.0)
+    p.add_argument("--set-tau-q", type=float, default=None,
+                   help="e.g. 0.01 => tau = quantile(train true-class scores, 0.01)")
+    return p
+
+
+def main() -> None:
+    args = build_parser().parse_args()
+    if not (0.0 <= args.shrink <= 1.0):
+        raise SystemExit("❌ --shrink must be in [0,1].")
+    if args.set_tau_q is not None and not (0.0 < float(args.set_tau_q) < 1.0):
+        raise SystemExit("❌ --set-tau-q must be in (0,1).")
+    apply_device(args.device)
+
+    project_root = project_root_here()
+    cfg_path = resolve_config(args.config, project_root)
+    cfg = load_json(cfg_path)
+    chunks_dir = resolve_root_dir(args.root, project_root)
+    chunk_seconds = get_chunk_seconds(cfg)
+
+    print(f"📌 project root: {project_root}")
+    print(f"🧾 config: {cfg_path}")
+    print(f"📁 chunks dir: {chunks_dir}")
+    print(
+        f"🎯 cov_type={args.cov_type} | cov_structure={args.cov_structure} | "
+        f"priors={args.priors} | eps={args.eps} | shrink={args.shrink}"
+    )
+    print(f"🎯 max_per_class={args.max_per_class} | cache={args.cache}\n")
+
+    session = EncoderSession(
+        mel=mel_from_args(args, chunk_seconds),
+        batch_size=args.batch_size,
+        encoder_dir=Path(args.encoder) if args.encoder else None,
+        project_root=project_root,
+        num_threads=args.io_threads,
+    ).load()
+
+    cache_dir = Path(args.cache_dir) if args.cache_dir else (project_root / CACHE_DIR_NAME)
+    fit_map_tree(
+        cfg_path=cfg_path, cfg=cfg, chunks_dir=chunks_dir, session=session,
+        cov_type=args.cov_type, cov_structure=args.cov_structure, priors_mode=args.priors,
+        eps=args.eps, shrink=args.shrink, tau_q=args.set_tau_q,
+        cache=args.cache, cache_dir=cache_dir,
+        max_per_class=args.max_per_class, seed=args.seed,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,181 @@
+"""``run-qout-grid`` — the q_out calibration grid with per-run snapshots
+(reference ``run_qout_grid.sh`` + ``9200_run_qout_grid_with_snapshot.py`` +
+``scripts/04_calibrate_qout_grid.sh`` rolled into one in-process tool).
+
+Per q_out value it: refits the radial detector on the train tree, benchmarks
+the val tree, and writes the full reference artifact set into
+<grid_root>/qout_<q>/ — run.log, summary.txt, results.csv, the 4 PNGs,
+config_used.json, config_snapshot.json. Then (optionally) runs the Spearman
+analysis.
+
+Two execution modes:
+- default: encode ONCE, then every grid point is an on-device rethreshold +
+  batched re-decision — no re-encoding, no subprocesses, no log scraping
+  (the reference's 4 full pipeline re-runs collapse into one jit sweep).
+- --subprocess-compat: spawn the actual fit/benchmark CLIs per point, byte-
+  identical to the reference's operational flow (useful for auditing).
+"""
+
+from __future__ import annotations
+
+import argparse
+import contextlib
+import io
+import json
+import shutil
+import subprocess
+import sys
+from datetime import datetime
+from pathlib import Path
+
+import numpy as np
+
+from anuraxla.cli.common import (
+    add_batch_args,
+    add_device_arg,
+    add_encoder_args,
+    add_mel_args,
+    apply_device,
+    mel_from_args,
+    project_root_here,
+    resolve_config,
+    resolve_root_dir,
+)
+from anuraxla.config import get_chunk_seconds
+from anuraxla.constants import CACHE_DIR_NAME
+from anuraxla.pipeline.fit import fit_radial_tree
+from anuraxla.pipeline.benchmark import run_folder_benchmark
+from anuraxla.pipeline.session import EncoderSession
+from anuraxla.utils.io import load_json
+from anuraxla.utils.timing import stage_timer
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--config", type=str, default="config.json")
+    p.add_argument("--train-root", type=str, default="train_chunks")
+    p.add_argument("--val-root", type=str, default="val_chunks")
+    p.add_argument("--q-in", type=float, default=0.95)
+    p.add_argument("--q-out-grid", type=float, nargs="*", default=[0.10, 0.15, 0.20, 0.25])
+    p.add_argument("--max-per-class", type=int, default=400)
+    p.add_argument("--seed", type=int, default=123)
+    p.add_argument("--grid-root", type=str, default=None,
+                   help="default: <project>/outputs/qout_grid_<YYYYMMDD>")
+    p.add_argument("--subprocess-compat", action="store_true")
+    p.add_argument("--analyze", action="store_true", help="run spearman analysis at the end")
+    add_device_arg(p)
+    add_mel_args(p)
+    add_encoder_args(p)
+    add_batch_args(p)
+    return p
+
+
+class Tee(io.TextIOBase):
+    def __init__(self, *sinks):
+        self.sinks = sinks
+
+    def write(self, s):
+        for k in self.sinks:
+            k.write(s)
+        return len(s)
+
+    def flush(self):
+        for k in self.sinks:
+            k.flush()
+
+
+def main() -> None:
+    args = build_parser().parse_args()
+    apply_device(args.device)
+    project_root = project_root_here()
+    cfg_path = resolve_config(args.config, project_root)
+    train_dir = resolve_root_dir(args.train_root, project_root)
+    val_dir = resolve_root_dir(args.val_root, project_root)
+
+    grid_root = (
+        Path(args.grid_root).expanduser().resolve()
+        if args.grid_root
+        else project_root / "outputs" / f"qout_grid_{datetime.now().strftime('%Y%m%d')}"
+    )
+    grid_root.mkdir(parents=True, exist_ok=True)
+    bench_out = project_root / "outputs" / "detection_benchmark"
+
+    print(f"📌 project root: {project_root}")
+    print(f"📁 grid root:   {grid_root}")
+    print(f"🎯 q_in={args.q_in} | grid={args.q_out_grid} | max_per_class={args.max_per_class}")
+
+    session = None
+    if not args.subprocess_compat:
+        cfg0 = load_json(cfg_path)
+        session = EncoderSession(
+            mel=mel_from_args(args, get_chunk_seconds(cfg0)),
+            batch_size=args.batch_size,
+            encoder_dir=Path(args.encoder) if args.encoder else None,
+            project_root=project_root,
+            num_threads=args.io_threads,
+        ).load()
+
+    for q_out in args.q_out_grid:
+        outdir = grid_root / f"qout_{q_out:.2f}"
+        outdir.mkdir(parents=True, exist_ok=True)
+        runlog = outdir / "run.log"
+        print("=" * 40)
+        print(f"▶ q_out={q_out} (q_in={args.q_in}) -> {outdir}")
+
+        with stage_timer(f"grid point q_out={q_out}"):
+            if args.subprocess_compat:
+                with open(runlog, "w", encoding="utf-8") as lf:
+                    for cmd in (
+                        [sys.executable, "-m", "anuraxla", "fit-radial",
+                         "--root", str(train_dir), "--q-in", str(args.q_in), "--q-out", str(q_out),
+                         "--max-per-class", str(args.max_per_class), "--cache",
+                         "--config", str(cfg_path)],
+                        [sys.executable, "-m", "anuraxla", "benchmark-folder",
+                         "--root", str(val_dir), "--config", str(cfg_path),
+                         "--out-dir", str(bench_out)],
+                    ):
+                        r = subprocess.run(cmd, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+                        lf.write(r.stdout)
+                        sys.stdout.write(r.stdout)
+                        if r.returncode != 0:
+                            raise SystemExit(f"❌ grid step failed: {' '.join(cmd)}")
+            else:
+                with open(runlog, "w", encoding="utf-8") as lf:
+                    tee = Tee(sys.stdout, lf)
+                    log = lambda *a: print(*a, file=tee)  # noqa: E731
+                    cfg = load_json(cfg_path)
+                    fit_radial_tree(
+                        cfg_path=cfg_path, cfg=cfg, chunks_dir=train_dir, session=session,
+                        q_in=args.q_in, q_out=q_out, cache=True,
+                        cache_dir=project_root / CACHE_DIR_NAME,
+                        max_per_class=args.max_per_class, seed=args.seed, log=log,
+                    )
+                    run_folder_benchmark(
+                        root=val_dir, config_path=cfg_path, detector="radial",
+                        session=session, out_dir=bench_out, log=log,
+                    )
+
+        # collect artifacts like run_qout_grid.sh:42-50
+        for name in ("summary.txt", "results.csv", "confusion_matrix.png",
+                     "accuracy_by_class.png", "no_detect_rate_by_class.png",
+                     "global_counts.png"):
+            src = bench_out / name
+            if src.exists():
+                shutil.copyfile(src, outdir / name)
+        shutil.copyfile(cfg_path, outdir / "config_used.json")
+
+        from anuraxla.cli.snapshot_from_log import write_snapshot
+
+        snap = write_snapshot(runlog, outdir / "config_snapshot.json", args.q_in, q_out)
+        if not snap["rk_per_species"]:
+            print("⚠️ snapshot has no rk values — fit log format changed?")
+        print(f"✅ saved -> {outdir}")
+
+    if args.analyze:
+        from anuraxla.cli.spearman_analysis import analyze_grid
+
+        analyze_grid(grid_root)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,110 @@
+"""``train-vae`` — train the conv VAE on a chunk tree and export the encoder
+artifact. The reference's ``scripts/02_train_vae.sh`` is an empty TODO stub;
+this makes the step real: wav tree -> log-mel batches -> beta-VAE training
+(data-parallel over all local devices) -> encoder artifact usable by every
+downstream fit/evaluate command.
+"""
+
+from __future__ import annotations
+
+import argparse
+import itertools
+from pathlib import Path
+
+import numpy as np
+
+from anuraxla.cli.common import (
+    add_batch_args,
+    add_device_arg,
+    add_mel_args,
+    apply_device,
+    mel_from_args,
+    project_root_here,
+)
+from anuraxla.constants import DEFAULT_ENCODER_DIR
+from anuraxla.models.checkpoint import save_encoder, save_train_state
+from anuraxla.models.train import TrainConfig
+from anuraxla.models.vae import VAEConfig, encoder_params_from_vae
+from anuraxla.ops.frontend import log_mel_batch, mel_to_encoder_input
+from anuraxla.pipeline.dataset import iter_batches, scan_species_tree
+from anuraxla.utils.timing import stage_timer
+
+
+def mel_batch_stream(root: Path, mel, batch_size: int, io_threads: int, epochs: int):
+    """Endless [B, T, M, 1] mel batches from a chunk tree (all species mixed,
+    reshuffled each epoch)."""
+    import random
+
+    tree = scan_species_tree(root)
+    paths = [p for wavs in tree.values() for p in wavs]
+    if not paths:
+        raise SystemExit(f"❌ no wavs under {root}")
+    rng = random.Random(0)
+    for _epoch in range(epochs) if epochs > 0 else itertools.count():
+        rng.shuffle(paths)
+        for batch, n_valid in iter_batches(
+            paths, sr=mel.sr, num_samples=mel.num_samples,
+            batch_size=batch_size, num_threads=io_threads,
+        ):
+            mels = np.asarray(log_mel_batch(batch.audio, mel))
+            yield np.asarray(mel_to_encoder_input(mels))
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--root", required=True, type=str, help="training chunk tree (per-species subdirs)")
+    p.add_argument("--out", type=str, default=None, help="encoder artifact output dir")
+    p.add_argument("--ckpt-dir", type=str, default=None, help="orbax train-state checkpoints (resume)")
+    p.add_argument("--steps", type=int, default=2000)
+    p.add_argument("--epochs", type=int, default=0, help="0 = loop until --steps")
+    p.add_argument("--lr", type=float, default=3e-4)
+    p.add_argument("--beta", type=float, default=0.25)
+    p.add_argument("--latent-dim", type=int, default=128)
+    p.add_argument("--bf16", action="store_true", help="bfloat16 compute dtype")
+    p.add_argument("--data-parallel", action="store_true",
+                   help="shard batches over all local devices (pjit)")
+    p.add_argument("--seed", type=int, default=0)
+    add_device_arg(p)
+    add_mel_args(p)
+    add_batch_args(p)
+    args = p.parse_args()
+    apply_device(args.device)
+
+    import jax
+    import jax.numpy as jnp
+
+    project_root = project_root_here()
+    mel = mel_from_args(args, duration=5.0)
+    vcfg = VAEConfig(
+        latent_dim=args.latent_dim,
+        input_hw=(mel.target_frames, mel.n_mels),
+        dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+    )
+    tc = TrainConfig(
+        learning_rate=args.lr, beta=args.beta, total_steps=args.steps,
+        batch_size=args.batch_size, seed=args.seed,
+    )
+
+    stream = mel_batch_stream(Path(args.root), mel, args.batch_size, args.io_threads, args.epochs)
+
+    with stage_timer("train", n_items=args.steps * args.batch_size) as t:
+        if args.data_parallel and len(jax.devices()) > 1:
+            from anuraxla.parallel.train_sharded import train_loop_sharded
+
+            vae, state, metrics = train_loop_sharded(vcfg, tc, stream, num_steps=args.steps)
+        else:
+            from anuraxla.models.train import train_loop
+
+            vae, state, metrics = train_loop(vcfg, tc, stream, num_steps=args.steps)
+    print(f"🏁 {args.steps} steps in {t.seconds:.1f}s ({t.rate:.1f} examples/s); final {metrics}")
+
+    out = Path(args.out) if args.out else (project_root / DEFAULT_ENCODER_DIR)
+    save_encoder(out, vcfg, encoder_params_from_vae(state.params))
+    print(f"💾 encoder artifact: {out}")
+    if args.ckpt_dir:
+        save_train_state(args.ckpt_dir, state)
+        print(f"💾 train state: {args.ckpt_dir}")
+
+
+if __name__ == "__main__":
+    main()

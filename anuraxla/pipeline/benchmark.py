@@ -1,0 +1,214 @@
+"""Folder detection benchmark (L5): ground truth from directory names,
+batched encode + decide, CSV/summary/plots artifacts.
+
+Artifact contract mirrors the reference benchmarks
+(``10_benchmark_folder_detection.py`` / ``10b_..._map.py``):
+  <out_dir>/results.csv        file, true_species, pred_species, detected,
+                               correct, best_distance|best_score [, error]
+  <out_dir>/summary.txt        fixed format, regex-parsed downstream by the
+                               Spearman analysis (``9100:53-58``)
+  <out_dir>/{confusion_matrix, accuracy_by_class, no_detect_rate_by_class,
+             global_counts}.png
+
+Unlike the reference (one encode+score per file in Python), the whole folder
+is encoded in fixed-shape device batches and decided in a single [B, K] op.
+Per-file decode failures become pred_species="ERROR" rows excluded from
+metrics (``10:409-418,432``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from anuraxla.config import (
+    load_config,
+    priority_ranks,
+    read_map,
+    read_radial,
+)
+from anuraxla.detect.gaussian_map import map_decide
+from anuraxla.detect.radial import radial_decide
+from anuraxla.pipeline.dataset import scan_species_tree
+from anuraxla.pipeline.session import EncoderSession
+from anuraxla.utils.timing import maybe_trace, stage_timer
+
+NO_DETECT = "NO_DETECT"
+ERROR = "ERROR"
+
+
+@dataclasses.dataclass
+class BenchmarkResult:
+    rows: List[dict]
+    total: int
+    accuracy: float
+    no_detect_rate: float
+    per_class: Dict[str, dict]
+    encode_rate: float = float("nan")  # chunks/s, measured
+
+
+def run_folder_benchmark(
+    *,
+    root: Path,
+    config_path: Path,
+    detector: str,  # "radial" | "map"
+    session: EncoderSession,
+    out_dir: Path,
+    log=print,
+    write_artifacts: bool = True,
+) -> BenchmarkResult:
+    cfg = load_config(config_path)
+    if detector == "radial":
+        species, centroids, thresholds, chunk_seconds = read_radial(cfg)
+        score_col = "best_distance"
+    elif detector == "map":
+        species, means, precs, lds, priors, tau, chunk_seconds = read_map(cfg)
+        score_col = "best_score"
+    else:
+        raise ValueError(f"unknown detector: {detector}")
+
+    if abs(chunk_seconds - session.mel.duration) > 1e-9:
+        session.mel = session.mel.replace(duration=chunk_seconds)
+    if session._fwd is None:
+        session.load()
+
+    tree = scan_species_tree(root)  # folder name == ground truth
+    if not any(tree.values()):
+        raise RuntimeError(f"no species subfolders with wavs under: {root}")
+
+    all_paths: List[Path] = []
+    true_names: List[str] = []
+    for sp in sorted(tree):
+        for p in tree[sp]:
+            all_paths.append(p)
+            true_names.append(sp)
+
+    with maybe_trace("folder_benchmark"):
+        with stage_timer("encode", n_items=len(all_paths), log=None) as t_enc:
+            Z, ok, errors = session.encode_paths(all_paths)
+
+        ranks = priority_ranks(species)
+        if detector == "radial":
+            detected, winner, best = radial_decide(Z, centroids, thresholds, ranks)
+        else:
+            import jax.numpy as jnp
+
+            tau_arr = jnp.asarray(np.nan if tau is None else tau, jnp.float32)
+            detected, winner, best = map_decide(Z, means, precs, lds, priors, tau_arr)
+
+    detected = np.asarray(detected)
+    winner = np.asarray(winner)
+    best = np.asarray(best)
+
+    rows: List[dict] = []
+    for i, p in enumerate(all_paths):
+        if not ok[i]:
+            rows.append(
+                {
+                    "file": str(p),
+                    "true_species": true_names[i],
+                    "pred_species": ERROR,
+                    "detected": False,
+                    "correct": False,
+                    score_col: float("nan"),
+                    "error": errors[i] or "decode failed",
+                }
+            )
+            continue
+        pred = species[int(winner[i])] if bool(detected[i]) and winner[i] >= 0 else NO_DETECT
+        rows.append(
+            {
+                "file": str(p),
+                "true_species": true_names[i],
+                "pred_species": pred,
+                "detected": bool(detected[i]),
+                "correct": pred == true_names[i],
+                score_col: float(best[i]),
+            }
+        )
+
+    result = summarize_rows(rows, encode_rate=t_enc.rate)
+
+    if write_artifacts:
+        out_dir = Path(out_dir)
+        out_dir.mkdir(parents=True, exist_ok=True)
+        write_results_csv(rows, out_dir / "results.csv", score_col)
+        ok_rows = [r for r in rows if r["pred_species"] != ERROR]
+        write_summary(ok_rows, out_dir / "summary.txt", map_variant=(detector == "map"))
+        try:
+            from anuraxla.utils.plotting import write_benchmark_plots
+
+            write_benchmark_plots(ok_rows, out_dir, map_variant=(detector == "map"))
+        except Exception as e:  # plots are best-effort (headless envs)
+            log(f"⚠️ plot generation failed: {e}")
+        log(f"✅ artifacts in {out_dir}")
+
+    log(
+        f"✅ DONE{' (MAP)' if detector == 'map' else ''} | N={result.total} "
+        f"| Acc={result.accuracy * 100:.2f}% | NO_DETECT={result.no_detect_rate * 100:.2f}% "
+        f"| encode {result.encode_rate:.1f} chunks/s"
+    )
+    return result
+
+
+def summarize_rows(rows: List[dict], encode_rate: float = float("nan")) -> BenchmarkResult:
+    ok_rows = [r for r in rows if r["pred_species"] != ERROR]
+    total = len(ok_rows)
+    correct = sum(r["correct"] for r in ok_rows)
+    no_det = sum(r["pred_species"] == NO_DETECT for r in ok_rows)
+    per_class: Dict[str, dict] = {}
+    for r in ok_rows:
+        d = per_class.setdefault(r["true_species"], {"n": 0, "correct": 0, "no_detect": 0})
+        d["n"] += 1
+        d["correct"] += int(r["correct"])
+        d["no_detect"] += int(r["pred_species"] == NO_DETECT)
+    for sp, d in per_class.items():
+        d["acc"] = d["correct"] / d["n"] if d["n"] else 0.0
+        d["no_detect_rate"] = d["no_detect"] / d["n"] if d["n"] else 0.0
+    return BenchmarkResult(
+        rows=rows,
+        total=total,
+        accuracy=(correct / total) if total else 0.0,
+        no_detect_rate=(no_det / total) if total else 0.0,
+        per_class=per_class,
+        encode_rate=encode_rate,
+    )
+
+
+def write_results_csv(rows: List[dict], path: Path, score_col: str) -> None:
+    import csv
+
+    has_error = any("error" in r for r in rows)
+    cols = ["file", "true_species", "pred_species", "detected", "correct", score_col]
+    if has_error:
+        cols.append("error")
+    with open(path, "w", newline="", encoding="utf-8") as f:
+        w = csv.DictWriter(f, fieldnames=cols, extrasaction="ignore")
+        w.writeheader()
+        for r in rows:
+            w.writerow(r)
+
+
+def write_summary(ok_rows: List[dict], path: Path, *, map_variant: bool = False) -> None:
+    """The exact summary.txt layout downstream regexes parse (``9100:53-58``)."""
+    res = summarize_rows(ok_rows)
+    correct = sum(r["correct"] for r in ok_rows)
+    no_det = sum(r["pred_species"] == NO_DETECT for r in ok_rows)
+    lines = [
+        f"=== Detection Benchmark Summary{' (MAP)' if map_variant else ''} ===",
+        f"Total files: {res.total}",
+        f"Correct: {correct}  | Accuracy: {res.accuracy * 100:.2f}%",
+        f"NO_DETECT: {no_det} | Rate: {res.no_detect_rate * 100:.2f}%",
+        "",
+        "=== Per-class ===",
+    ]
+    by_acc = sorted(res.per_class.items(), key=lambda kv: -kv[1]["acc"])
+    for sp, d in by_acc:
+        lines.append(
+            f"- {sp:30s}  n={d['n']:4d}  acc={d['acc'] * 100:6.2f}%  "
+            f"no_detect={d['no_detect_rate'] * 100:6.2f}%"
+        )
+    Path(path).write_text("\n".join(lines), encoding="utf-8")

@@ -1,0 +1,182 @@
+"""Fit orchestration: encode a training tree, fit a detector on device, and
+persist the reference-schema config block. Shared by the fit-radial /
+fit-map CLIs and the calibration grid.
+"""
+
+from __future__ import annotations
+
+import math
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from anuraxla import config as cfgmod
+from anuraxla.constants import MelConfig
+from anuraxla.detect.gaussian_map import fit_map, true_class_score_summary
+from anuraxla.detect.radial import fit_radial, summarize_masked
+from anuraxla.ops.quantiles import masked_quantile
+from anuraxla.pipeline.session import EncoderSession, encode_species_tree, pad_species_latents
+
+
+def _f(x) -> float:
+    return float(np.asarray(x))
+
+
+def fit_radial_tree(
+    *,
+    cfg_path: Path,
+    cfg: Dict[str, Any],
+    chunks_dir: Path,
+    session: EncoderSession,
+    q_in: float,
+    q_out: float,
+    cache: bool,
+    cache_dir: Optional[Path],
+    max_per_class: int,
+    seed: int,
+    log=print,
+) -> Dict[str, Any]:
+    """Full 08-equivalent: encode -> fit -> write config. Returns the fitted
+    per-species numbers (also printed in the 9105-parseable ✅ format)."""
+    species_all = cfgmod.require_species(cfg)
+    Z_by, failed, used = encode_species_tree(
+        session, chunks_dir, species_all,
+        cache=cache, cache_dir=cache_dir, max_per_class=max_per_class, seed=seed, log=log,
+    )
+    if not Z_by:
+        raise SystemExit("❌ no species could be encoded — check --root and the pipeline.")
+
+    species, Z, mask = pad_species_latents(Z_by)
+    fit = fit_radial(jnp.asarray(Z), jnp.asarray(mask), q_in, q_out)
+
+    # per-species meta with rho summaries (reference meta_fit shape, 08:544-553)
+    diff_in = Z - np.asarray(fit.centroids)[:, None, :]
+    rho_in = np.sqrt(np.maximum((diff_in * diff_in).sum(-1), 0.0))
+    in_summary = {k: np.asarray(v) for k, v in summarize_masked(jnp.asarray(rho_in), jnp.asarray(mask)).items()}
+
+    K, Nmax, D = Z.shape
+    flatZ = Z.reshape(K * Nmax, D)
+    owner = np.repeat(np.arange(K), Nmax)
+    valid = mask.reshape(K * Nmax)
+    d_all = np.sqrt(
+        np.maximum(
+            ((flatZ[:, None, :] - np.asarray(fit.centroids)[None, :, :]) ** 2).sum(-1), 0.0
+        )
+    ).T  # [K, K*Nmax]
+    out_mask = valid[None, :] & (owner[None, :] != np.arange(K)[:, None])
+    out_summary = {k: np.asarray(v) for k, v in summarize_masked(jnp.asarray(d_all), jnp.asarray(out_mask)).items()}
+
+    meta: Dict[str, Dict[str, Any]] = {}
+    rk_in = np.asarray(fit.rk_in)
+    rk_out = np.asarray(fit.rk_out)
+    rk = np.asarray(fit.rk)
+    n_in = np.asarray(fit.n_in)
+    n_out = np.asarray(fit.n_out)
+    for i, sp in enumerate(species):
+        meta[sp] = {
+            "N_in": int(n_in[i]),
+            "N_out": int(n_out[i]),
+            "rk_in": _f(rk_in[i]),
+            "rk_out": (_f(rk_out[i]) if math.isfinite(_f(rk_out[i])) else None),
+            "rk_final": _f(rk[i]),
+            "failed": int(failed.get(sp, 0)),
+            "used": int(used.get(sp, n_in[i])),
+            "rho_in_summary": {k: _f(v[i]) for k, v in in_summary.items()},
+            "rho_out_summary": {k: _f(v[i]) for k, v in out_summary.items()},
+        }
+        rk_out_print = _f(rk_out[i]) if math.isfinite(_f(rk_out[i])) else float("nan")
+        # exact line format consumed by the snapshot-from-log regex (9105:11-13)
+        log(f"✅ {sp}: rk_in={_f(rk_in[i]):.6f} | rk_out={rk_out_print:.6f} | rk={_f(rk[i]):.6f}")
+        log(f"   rho_in:  {meta[sp]['rho_in_summary']}")
+        log(f"   rho_out: {meta[sp]['rho_out_summary']}")
+
+    backup = cfgmod.write_radial(
+        cfg_path, cfg, species, np.asarray(fit.centroids), rk, rk_in, rk_out,
+        chunks_dir=chunks_dir, mel=session.mel, q_in=q_in, q_out=q_out,
+        max_per_class=max_per_class, seed=seed, per_species_meta=meta,
+    )
+    log(f"\n💾 saved: {cfg_path}")
+    log(f"🗂️ backup: {backup}")
+    return {"species": species, "rk": rk, "rk_in": rk_in, "rk_out": rk_out, "meta": meta, "fit": fit,
+            "Z": Z, "mask": mask}
+
+
+def fit_map_tree(
+    *,
+    cfg_path: Path,
+    cfg: Dict[str, Any],
+    chunks_dir: Path,
+    session: EncoderSession,
+    cov_type: str,
+    cov_structure: str,
+    priors_mode: str,
+    eps: float,
+    shrink: float,
+    tau_q: Optional[float],
+    cache: bool,
+    cache_dir: Optional[Path],
+    max_per_class: int,
+    seed: int,
+    log=print,
+) -> Dict[str, Any]:
+    """Full 08b-equivalent: encode -> MAP fit -> write config."""
+    species_all = cfgmod.require_species(cfg)
+    Z_by, failed, used = encode_species_tree(
+        session, chunks_dir, species_all,
+        cache=cache, cache_dir=cache_dir, max_per_class=max_per_class, seed=seed, log=log,
+    )
+    if not Z_by:
+        raise SystemExit("❌ no species could be encoded — check --root and the pipeline.")
+
+    # the reference fits over sorted(species_present) (08b:258)
+    Z_by = {sp: Z_by[sp] for sp in sorted(Z_by)}
+    species, Z, mask = pad_species_latents(Z_by)
+    fit = fit_map(
+        jnp.asarray(Z), jnp.asarray(mask),
+        cov_type=cov_type, cov_structure=cov_structure, priors_mode=priors_mode,
+        eps=eps, shrink=shrink, tau_q=tau_q,
+    )
+
+    summaries = true_class_score_summary(fit, jnp.asarray(Z), jnp.asarray(mask))
+    per_meta: Dict[str, Dict[str, Any]] = {}
+    n_k = mask.sum(1)
+    priors = np.asarray(fit.priors)
+    for i, sp in enumerate(species):
+        per_meta[sp] = {
+            "N": int(n_k[i]),
+            "failed": int(failed.get(sp, 0)),
+            "used": int(used.get(sp, n_k[i])),
+            "prior": _f(priors[i]),
+            "score_true_summary": {k: _f(np.asarray(v)[i]) for k, v in summaries.items()},
+        }
+
+    sts = np.asarray(fit.scores_true_sorted)
+    n_scores = int(np.asarray(fit.n_scores))
+    valid_scores = sts[:n_scores]
+    global_summary = {
+        "min": _f(valid_scores.min()) if n_scores else float("nan"),
+        "p05": _f(np.quantile(valid_scores, 0.05)) if n_scores else float("nan"),
+        "p50": _f(np.quantile(valid_scores, 0.50)) if n_scores else float("nan"),
+        "p95": _f(np.quantile(valid_scores, 0.95)) if n_scores else float("nan"),
+        "max": _f(valid_scores.max()) if n_scores else float("nan"),
+    }
+
+    tau_val = None if tau_q is None else _f(fit.tau)
+    if tau_val is not None:
+        log(f"\n✅ tau from train: tau = quantile(score_true_class, q={tau_q}) = {tau_val:.6f}")
+
+    backup = cfgmod.write_map(
+        cfg_path, cfg, species,
+        np.asarray(fit.means), np.asarray(fit.covs), np.asarray(fit.precisions),
+        np.asarray(fit.logdets), priors, tau_val,
+        cov_type=cov_type, cov_structure=cov_structure, priors_mode=priors_mode,
+        chunks_dir=chunks_dir, mel=session.mel, max_per_class=max_per_class, seed=seed,
+        eps=eps, shrink=shrink, tau_q=tau_q,
+        score_true_global_summary=global_summary, per_species_meta=per_meta,
+    )
+    log(f"\n💾 saved: {cfg_path}")
+    log(f"🗂️ backup: {backup}")
+    log("\n✅ MAP detector fit done. (NO_DETECT is decided via tau at evaluation.)")
+    return {"species": species, "fit": fit, "meta": per_meta, "Z": Z, "mask": mask}

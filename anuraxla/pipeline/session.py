@@ -1,0 +1,189 @@
+"""Load-once inference sessions: encoder + detectors.
+
+The reference's library entry points reload the torch encoder on every call
+(``09_evaluate_wav_detection.py:400`` — a cold path its own benchmark classes
+had to work around, ``10:137-150``). Here the session pattern is the only
+pattern: weights load once, the wav->mel->latent function jit-compiles once,
+and every caller — single-file CLI, folder benchmark, calibration grid —
+shares it.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import random as pyrandom
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from anuraxla.constants import CACHE_DIR_NAME, MelConfig
+from anuraxla.models.checkpoint import load_or_init_encoder
+from anuraxla.ops.frontend import log_mel_batch, mel_to_encoder_input
+from anuraxla.pipeline.dataset import iter_batches, scan_species_tree, subsample_paths
+from anuraxla.utils.timing import stage_timer
+
+
+@dataclasses.dataclass
+class EncoderSession:
+    """Everything needed to turn wav paths into latents, batched on device."""
+
+    mel: MelConfig
+    batch_size: int = 64
+    encoder_dir: Optional[Path] = None
+    project_root: Path = Path(".")
+    parity: bool = True
+    num_threads: int = 16
+    _enc: object = None
+    _params: object = None
+    _fwd: object = None
+    latent_dim: int = 0
+
+    def load(self) -> "EncoderSession":
+        enc, params, cfg = load_or_init_encoder(self.encoder_dir, self.project_root)
+        if tuple(cfg.input_hw) != (self.mel.target_frames, self.mel.n_mels):
+            raise ValueError(
+                f"encoder expects input {cfg.input_hw}, mel config produces "
+                f"({self.mel.target_frames}, {self.mel.n_mels})"
+            )
+        self._enc, self._params = enc, params
+        self.latent_dim = cfg.latent_dim
+        mel_cfg, parity = self.mel, self.parity
+
+        @jax.jit
+        def fwd(params, audio):
+            mels = log_mel_batch(audio, mel_cfg, parity=parity)
+            out = enc.apply(params, mel_to_encoder_input(mels))
+            return out["mu"]  # deterministic latent (reference uses z/mu)
+
+        self._fwd = fwd
+        return self
+
+    def encode_array(self, audio: np.ndarray) -> np.ndarray:
+        """[B, num_samples] waveforms -> [B, D] latents (device roundtrip)."""
+        return np.asarray(self._fwd(self._params, jnp.asarray(audio)))
+
+    def encode_paths(self, paths: Sequence[Path]) -> Tuple[np.ndarray, np.ndarray, List[Optional[str]]]:
+        """Decode+encode a path list. Returns (Z [N, D], ok [N], errors [N]).
+        Host decode of batch i+1 overlaps device compute of batch i."""
+        N = len(paths)
+        Z = np.zeros((N, self.latent_dim), np.float32)
+        ok = np.zeros(N, bool)
+        errors: List[Optional[str]] = [None] * N
+        pos = 0
+        for batch, n_valid in iter_batches(
+            paths,
+            sr=self.mel.sr,
+            num_samples=self.mel.num_samples,
+            batch_size=self.batch_size,
+            num_threads=self.num_threads,
+        ):
+            z = self.encode_array(batch.audio)
+            Z[pos : pos + n_valid] = z[:n_valid]
+            ok[pos : pos + n_valid] = batch.ok[:n_valid]
+            errors[pos : pos + n_valid] = batch.errors[:n_valid]
+            pos += n_valid
+        return Z, ok, errors
+
+
+def cache_path_for(cache_dir: Path, chunks_dir: Path, species: str) -> Path:
+    """``cache_npz/Z_<rootname>_<species>.npz`` (``08:467``). Our archives add
+    a mel-parameter fingerprint to detect the stale-cache hazard the
+    reference's key ignores (SURVEY.md 'quirks')."""
+    return Path(cache_dir) / f"Z_{Path(chunks_dir).name}_{species}.npz"
+
+
+def mel_fingerprint(mel: MelConfig) -> str:
+    return (
+        f"sr{mel.sr}_d{mel.duration}_m{mel.n_mels}_f{mel.fmin}-{mel.fmax}"
+        f"_h{mel.hop_length}_n{mel.n_fft}_t{mel.target_frames}"
+    )
+
+
+def encode_species_tree(
+    session: EncoderSession,
+    chunks_dir: Path,
+    species: Sequence[str],
+    *,
+    cache: bool = False,
+    cache_dir: Optional[Path] = None,
+    max_per_class: int = 0,
+    seed: int = 123,
+    log=print,
+) -> Tuple[Dict[str, np.ndarray], Dict[str, int], Dict[str, int]]:
+    """Per-species encode with optional .npz cache and subsampling — the
+    batched replacement for the reference's hot loop (``08:461-521``).
+
+    Returns (Z_by_species, failed_counts, used_counts). Species with no wavs
+    or no successful encodes are omitted (reference skip semantics).
+    """
+    tree = scan_species_tree(chunks_dir, species)
+    rng = pyrandom.Random(seed)  # seeded once; draws consume sequential state
+    if cache:
+        cache_dir = Path(cache_dir) if cache_dir else Path(CACHE_DIR_NAME)
+        cache_dir.mkdir(parents=True, exist_ok=True)
+
+    Z_by: Dict[str, np.ndarray] = {}
+    failed: Dict[str, int] = {}
+    used: Dict[str, int] = {}
+    fp = mel_fingerprint(session.mel)
+
+    for sp in species:
+        wavs = tree.get(sp, [])
+        cpath = cache_path_for(cache_dir, chunks_dir, sp) if cache else None
+        if cpath is not None and cpath.exists():
+            data = np.load(cpath, allow_pickle=False)
+            stale = "mel_fp" in data and str(data["mel_fp"]) != fp
+            if not stale:
+                Zm = data["Z"].astype(np.float32)
+                Z_by[sp] = Zm
+                failed[sp] = int(data["failed"]) if "failed" in data else 0
+                used[sp] = int(Zm.shape[0])
+                log(f"🧊 {sp}: cache {cpath.name} -> N={Zm.shape[0]}")
+                continue
+            log(f"♻️ {sp}: cache stale (mel params changed), re-encoding")
+
+        if not wavs:
+            log(f"⚠️ {sp}: no wavs under {Path(chunks_dir) / sp} (skipped)")
+            continue
+        wavs = subsample_paths(wavs, max_per_class, rng)
+
+        with stage_timer(f"encode[{sp}]", n_items=len(wavs), log=None) as t:
+            Z, ok, _errors = session.encode_paths(wavs)
+        n_fail = int((~ok).sum())
+        if ok.sum() == 0:
+            log(f"❌ {sp}: nothing could be encoded (skipped)")
+            continue
+        Zm = Z[ok]
+        Z_by[sp] = Zm
+        failed[sp] = n_fail
+        used[sp] = int(Zm.shape[0])
+        log(f"🧪 {sp}: encoded N={Zm.shape[0]} (failed={n_fail}) [{t.rate:.1f} chunks/s]")
+
+        if cpath is not None:
+            np.savez_compressed(cpath, Z=Zm, failed=n_fail, root=str(chunks_dir), mel_fp=fp)
+            log(f"   ↳ cached: {cpath.name}")
+
+    return Z_by, failed, used
+
+
+def pad_species_latents(
+    Z_by: Dict[str, np.ndarray]
+) -> Tuple[List[str], np.ndarray, np.ndarray]:
+    """Ragged {sp: [N_sp, D]} -> (species order, Z [K, Nmax, D], mask [K, Nmax])
+    — the fixed-shape layout detect.fit_* expect."""
+    species = list(Z_by.keys())
+    if not species:
+        raise ValueError("no encoded species")
+    Nmax = max(z.shape[0] for z in Z_by.values())
+    D = next(iter(Z_by.values())).shape[1]
+    K = len(species)
+    Z = np.zeros((K, Nmax, D), np.float32)
+    mask = np.zeros((K, Nmax), bool)
+    for i, sp in enumerate(species):
+        n = Z_by[sp].shape[0]
+        Z[i, :n] = Z_by[sp]
+        mask[i, :n] = True
+    return species, Z, mask

@@ -1,0 +1,235 @@
+"""End-to-end pipeline test on a synthetic chunk tree (SURVEY.md §4 plan (c)):
+make data -> fit radial -> benchmark -> fit MAP -> benchmark MAP ->
+evaluate single wavs -> calibration grid -> spearman. Exercises the real CLI
+mains in-process with a small encoder artifact.
+"""
+
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from anuraxla.cli.make_synth_data import make_tree
+from anuraxla.constants import SPECIES
+from anuraxla.models.checkpoint import save_encoder
+from anuraxla.models.vae import VAEConfig, init_encoder, encoder_params_from_vae
+
+SR = 16000
+SECONDS = 1.0
+TF, NM = 48, 32
+MEL_FLAGS = ["--sr", str(SR), "--target-frames", str(TF), "--n-mels", str(NM),
+             "--fmax", "7500"]
+
+
+@pytest.fixture(scope="module")
+def tree(tmp_path_factory):
+    root = tmp_path_factory.mktemp("project")
+    make_tree(root / "latent_space_exploration", sr=SR, seconds=SECONDS, per_species=6, seed=1)
+    # project config (required pre-existing keys: species + chunk_seconds)
+    (root / "config.json").write_text(
+        json.dumps({"species": list(SPECIES), "chunk_seconds": SECONDS}, indent=2)
+    )
+    # small encoder artifact at the default location
+    vcfg = VAEConfig(latent_dim=24, widths=(8, 16), dense_width=32, groups=4, input_hw=(TF, NM))
+    enc, params = init_encoder(vcfg, seed=7)
+    save_encoder(root / "models" / "anuraxla_vae_encoder_v0", vcfg, params)
+    return root
+
+
+def run_cli(module, argv, tree, monkeypatch, capsys):
+    monkeypatch.chdir(tree)
+    monkeypatch.setattr(sys, "argv", ["prog"] + argv)
+    code = 0
+    try:
+        module.main()
+    except SystemExit as e:
+        if e.code is None:
+            code = 0
+        elif isinstance(e.code, int):
+            code = e.code
+        else:
+            code = 1  # SystemExit("message") semantics
+    out = capsys.readouterr().out
+    return code, out
+
+
+def test_01_fit_radial_writes_config_and_rk_lines(tree, monkeypatch, capsys):
+    from anuraxla.cli import fit_radial
+
+    code, out = run_cli(
+        fit_radial,
+        ["--root", "train_chunks", "--q-in", "0.9", "--q-out", "0.10", "--cache"] + MEL_FLAGS,
+        tree, monkeypatch, capsys,
+    )
+    assert code == 0
+    cfg = json.loads((tree / "config.json").read_text())
+    rd = cfg["radial_detector"]
+    assert set(rd["centroids"]) == set(SPECIES)
+    assert set(rd["thresholds"]) == set(SPECIES)
+    assert rd["meta_fit"]["q_out"] == 0.10
+    assert (tree / "config.json.bak").exists()
+    assert (tree / "cache_npz").exists()
+
+    # the ✅ lines must be parseable by the snapshot tool's regex
+    from anuraxla.cli.snapshot_from_log import parse_log
+
+    rk, rk_in, rk_out = parse_log(out)
+    assert set(rk) == set(SPECIES)
+    for sp in SPECIES:
+        assert rk[sp] == pytest.approx(rd["thresholds"][sp], rel=1e-4)
+
+
+def test_02_benchmark_radial(tree, monkeypatch, capsys):
+    from anuraxla.cli import benchmark_folder
+
+    code, out = run_cli(
+        benchmark_folder,
+        ["--root", str(tree / "latent_space_exploration" / "val_chunks")] + MEL_FLAGS,
+        tree, monkeypatch, capsys,
+    )
+    assert code == 0
+    out_dir = tree / "outputs" / "detection_benchmark"
+    for f in ["results.csv", "summary.txt", "confusion_matrix.png",
+              "accuracy_by_class.png", "no_detect_rate_by_class.png", "global_counts.png"]:
+        assert (out_dir / f).exists(), f
+
+    # summary parses with the 9100 regexes
+    from anuraxla.cli.spearman_analysis import parse_summary
+
+    acc_g, nd_g, acc_sp, nd_sp = parse_summary(out_dir / "summary.txt")
+    assert set(acc_sp) == set(SPECIES)
+    assert 0.0 <= acc_g <= 1.0
+
+    import csv
+
+    with open(out_dir / "results.csv") as f:
+        rows = list(csv.DictReader(f))
+    assert len(rows) == 4 * 6
+    assert {r["true_species"] for r in rows} == set(SPECIES)
+    assert all("best_distance" in r for r in rows)
+
+
+def test_03_fit_map_and_benchmark(tree, monkeypatch, capsys):
+    from anuraxla.cli import fit_map
+
+    code, out = run_cli(
+        fit_map,
+        ["--root", "train_chunks", "--cache", "--set-tau-q", "0.02", "--shrink", "0.1"] + MEL_FLAGS,
+        tree, monkeypatch, capsys,
+    )
+    assert code == 0
+    cfg = json.loads((tree / "config.json").read_text())
+    md = cfg["map_detector"]
+    assert md["model"] == "gaussian_map"
+    assert md["cov_type"] == "lda"
+    assert md["tau"] is not None
+    assert set(md["means"]) == set(SPECIES)
+    D = len(md["means"][SPECIES[0]])
+    assert np.asarray(md["precision"][SPECIES[0]]).shape == (D, D)
+    for sp in SPECIES:
+        assert "prior" in md["meta_fit"]["per_species"][sp]
+
+    from anuraxla.cli import benchmark_folder_map
+
+    code, out = run_cli(
+        benchmark_folder_map,
+        ["--root", str(tree / "latent_space_exploration" / "val_chunks")] + MEL_FLAGS,
+        tree, monkeypatch, capsys,
+    )
+    assert code == 0
+    out_dir = tree / "outputs" / "detection_benchmark_map"
+    assert (out_dir / "summary.txt").exists()
+    assert "(MAP)" in (out_dir / "summary.txt").read_text()
+
+
+def test_04_evaluate_single_wav_exit_codes(tree, monkeypatch, capsys):
+    from anuraxla.cli import evaluate_wav, evaluate_wav_map
+
+    wav = next((tree / "latent_space_exploration" / "test_chunks" / SPECIES[0]).glob("*.wav"))
+    code, out = run_cli(evaluate_wav, ["--wav", str(wav)] + MEL_FLAGS, tree, monkeypatch, capsys)
+    assert code in (0, 2)
+    assert ("DETECTED" in out) or ("NO DETECT" in out)
+
+    code_m, out_m = run_cli(evaluate_wav_map, ["--wav", str(wav)] + MEL_FLAGS, tree, monkeypatch, capsys)
+    assert code_m in (0, 2)
+
+    # missing wav -> clean SystemExit (nonzero, not 2-is-not-detected)
+    code_x, _ = run_cli(evaluate_wav, ["--wav", "nope.wav"] + MEL_FLAGS, tree, monkeypatch, capsys)
+    assert code_x not in (0, 2)
+
+
+def test_05_encode_wav_jsonl(tree, monkeypatch, capsys):
+    from anuraxla.cli import encode_wav
+
+    wav = next((tree / "latent_space_exploration" / "test_chunks" / SPECIES[1]).glob("*.wav"))
+    code, out = run_cli(
+        encode_wav, ["--wav", str(wav), "--jsonl", "--duration", str(SECONDS)] + MEL_FLAGS,
+        tree, monkeypatch, capsys,
+    )
+    assert code == 0
+    rec = json.loads(out.strip().splitlines()[-1])
+    assert rec["dim"] == 24
+    assert len(rec["vector"]) == 24
+
+
+def test_06_qout_grid_and_spearman(tree, monkeypatch, capsys):
+    from anuraxla.cli import run_qout_grid
+
+    grid_root = tree / "outputs" / "qout_grid_test"
+    code, out = run_cli(
+        run_qout_grid,
+        ["--train-root", "train_chunks", "--val-root", "val_chunks",
+         "--q-in", "0.9", "--q-out-grid", "0.10", "0.20", "0.30",
+         "--grid-root", str(grid_root), "--max-per-class", "5", "--analyze"] + MEL_FLAGS,
+        tree, monkeypatch, capsys,
+    )
+    assert code == 0
+    for q in ("0.10", "0.20", "0.30"):
+        d = grid_root / f"qout_{q}"
+        for f in ["run.log", "summary.txt", "results.csv", "config_used.json", "config_snapshot.json"]:
+            assert (d / f).exists(), (d, f)
+        snap = json.loads((d / "config_snapshot.json").read_text())
+        assert set(snap["rk_per_species"]) == set(SPECIES)
+        assert snap["q_out"] == float(q)
+    assert (grid_root / "spearman_table.csv").exists()
+
+    import csv
+
+    with open(grid_root / "spearman_table.csv") as f:
+        rows = list(csv.DictReader(f))
+    scopes = {r["scope"] for r in rows}
+    assert "GLOBAL" in scopes and "PER_CLASS" in scopes
+
+
+def test_07_normalize_cli(tree, monkeypatch, capsys):
+    from anuraxla.cli import normalize
+
+    code, out = run_cli(
+        normalize,
+        ["--base-dir", str(tree / "latent_space_exploration"), "--sr", str(SR),
+         "--sets", "val_chunks"],
+        tree, monkeypatch, capsys,
+    )
+    assert code == 0
+    norm_dir = tree / "latent_space_exploration" / "val_chunks_norm"
+    assert norm_dir.exists()
+    wavs = list(norm_dir.rglob("*.wav"))
+    assert len(wavs) == 4 * 6
+    from anuraxla.utils.wavio import read_wav
+
+    y, _ = read_wav(wavs[0], sr=SR)
+    rms = float(np.sqrt((y**2).mean()))
+    assert rms == pytest.approx(0.05, rel=0.02)  # RMS target (PCM16 quantized)
+
+
+def test_08_dispatcher_lists_commands(monkeypatch, capsys):
+    import anuraxla.__main__ as m
+
+    monkeypatch.setattr(sys, "argv", ["anuraxla", "--help"])
+    with pytest.raises(SystemExit) as e:
+        m.main()
+    assert e.value.code == 0
+    out = capsys.readouterr().out
+    assert "fit-radial" in out and "run-qout-grid" in out
