@@ -1,0 +1,291 @@
+// anuraxla native WAV batch decoder.
+//
+// Replaces the per-file librosa.load hot loop of the reference
+// (08_fit_radial_detector.py:488-506) on the host side: a thread pool
+// decodes RIFF/WAVE files (PCM 8/16/24/32-bit, IEEE float32/64) straight
+// into a caller-provided [n, num_samples] float32 batch buffer — mono
+// mixdown, crop/pad, optional linear resample — zero Python in the loop.
+// The TPU consumes the batch directly; decode of batch i+1 overlaps device
+// compute of batch i (see anuraxla.pipeline.dataset).
+//
+// C ABI only (ctypes binding in wavloader.py). No exceptions across the
+// boundary: every failure is a per-row ok=0 + truncated message.
+
+#include <atomic>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <string>
+#include <thread>
+#include <vector>
+
+namespace {
+
+constexpr uint16_t kPcm = 0x0001;
+constexpr uint16_t kFloat = 0x0003;
+constexpr uint16_t kExtensible = 0xFFFE;
+
+struct Fmt {
+  uint16_t format = 0;
+  uint16_t channels = 0;
+  uint32_t sample_rate = 0;
+  uint16_t bits = 0;
+};
+
+uint32_t rd_u32(const uint8_t* p) {
+  return static_cast<uint32_t>(p[0]) | (static_cast<uint32_t>(p[1]) << 8) |
+         (static_cast<uint32_t>(p[2]) << 16) | (static_cast<uint32_t>(p[3]) << 24);
+}
+uint16_t rd_u16(const uint8_t* p) {
+  return static_cast<uint16_t>(p[0]) | (static_cast<uint16_t>(p[1]) << 8);
+}
+
+bool parse_wav(const std::vector<uint8_t>& buf, Fmt* fmt, const uint8_t** data,
+               size_t* data_len, std::string* err) {
+  if (buf.size() < 12 || std::memcmp(buf.data(), "RIFF", 4) != 0 ||
+      std::memcmp(buf.data() + 8, "WAVE", 4) != 0) {
+    *err = "not a RIFF/WAVE file";
+    return false;
+  }
+  size_t pos = 12;
+  bool have_fmt = false, have_data = false;
+  while (pos + 8 <= buf.size()) {
+    const uint8_t* cid = buf.data() + pos;
+    uint32_t size = rd_u32(buf.data() + pos + 4);
+    size_t body = pos + 8;
+    size_t avail = buf.size() > body ? buf.size() - body : 0;
+    size_t take = size < avail ? size : avail;  // tolerate truncated files
+    if (std::memcmp(cid, "fmt ", 4) == 0 && take >= 16) {
+      const uint8_t* b = buf.data() + body;
+      fmt->format = rd_u16(b);
+      fmt->channels = rd_u16(b + 2);
+      fmt->sample_rate = rd_u32(b + 4);
+      fmt->bits = rd_u16(b + 14);
+      if (fmt->format == kExtensible && take >= 26) {
+        fmt->format = rd_u16(b + 24);  // first 2 bytes of SubFormat GUID
+      }
+      have_fmt = true;
+    } else if (std::memcmp(cid, "data", 4) == 0) {
+      *data = buf.data() + body;
+      *data_len = take;
+      have_data = true;
+    }
+    pos = body + size + (size & 1);  // word alignment
+  }
+  if (!have_fmt || !have_data) {
+    *err = "WAV missing fmt/data chunk";
+    return false;
+  }
+  if (fmt->channels == 0) {
+    *err = "WAV has zero channels";
+    return false;
+  }
+  return true;
+}
+
+// Decode interleaved sample frames to mono float32 (mean over channels).
+bool decode_mono(const Fmt& fmt, const uint8_t* data, size_t len,
+                 std::vector<float>* out, std::string* err) {
+  const int ch = fmt.channels;
+  const int bytes = fmt.bits / 8;
+  if (bytes == 0) {
+    *err = "zero bit depth";
+    return false;
+  }
+  const size_t frame_bytes = static_cast<size_t>(bytes) * ch;
+  const size_t frames = len / frame_bytes;
+  out->resize(frames);
+  const float inv_ch = 1.0f / static_cast<float>(ch);
+
+  auto fail = [&](const char* m) {
+    *err = m;
+    return false;
+  };
+
+  if (fmt.format == kFloat) {
+    if (fmt.bits == 32) {
+      for (size_t i = 0; i < frames; ++i) {
+        const uint8_t* f = data + i * frame_bytes;
+        float acc = 0.f;
+        for (int c = 0; c < ch; ++c) {
+          float v;
+          std::memcpy(&v, f + c * 4, 4);
+          acc += v;
+        }
+        (*out)[i] = acc * inv_ch;
+      }
+    } else if (fmt.bits == 64) {
+      for (size_t i = 0; i < frames; ++i) {
+        const uint8_t* f = data + i * frame_bytes;
+        double acc = 0.0;
+        for (int c = 0; c < ch; ++c) {
+          double v;
+          std::memcpy(&v, f + c * 8, 8);
+          acc += v;
+        }
+        (*out)[i] = static_cast<float>(acc * inv_ch);
+      }
+    } else {
+      return fail("unsupported float bit depth");
+    }
+    return true;
+  }
+  if (fmt.format != kPcm) return fail("unsupported WAV format tag");
+
+  switch (fmt.bits) {
+    case 8:
+      for (size_t i = 0; i < frames; ++i) {
+        const uint8_t* f = data + i * frame_bytes;
+        float acc = 0.f;
+        for (int c = 0; c < ch; ++c) acc += (static_cast<float>(f[c]) - 128.0f) / 128.0f;
+        (*out)[i] = acc * inv_ch;
+      }
+      return true;
+    case 16:
+      for (size_t i = 0; i < frames; ++i) {
+        const uint8_t* f = data + i * frame_bytes;
+        float acc = 0.f;
+        for (int c = 0; c < ch; ++c) {
+          int16_t v = static_cast<int16_t>(rd_u16(f + c * 2));
+          acc += static_cast<float>(v) / 32768.0f;
+        }
+        (*out)[i] = acc * inv_ch;
+      }
+      return true;
+    case 24:
+      for (size_t i = 0; i < frames; ++i) {
+        const uint8_t* f = data + i * frame_bytes;
+        float acc = 0.f;
+        for (int c = 0; c < ch; ++c) {
+          const uint8_t* s = f + c * 3;
+          int32_t v = static_cast<int32_t>(s[0]) | (static_cast<int32_t>(s[1]) << 8) |
+                      (static_cast<int32_t>(s[2]) << 16);
+          if (v >= (1 << 23)) v -= (1 << 24);
+          acc += static_cast<float>(v) / 8388608.0f;
+        }
+        (*out)[i] = acc * inv_ch;
+      }
+      return true;
+    case 32:
+      for (size_t i = 0; i < frames; ++i) {
+        const uint8_t* f = data + i * frame_bytes;
+        float acc = 0.f;
+        for (int c = 0; c < ch; ++c) {
+          int32_t v = static_cast<int32_t>(rd_u32(f + c * 4));
+          acc += static_cast<float>(v) / 2147483648.0f;
+        }
+        (*out)[i] = acc * inv_ch;
+      }
+      return true;
+    default:
+      return fail("unsupported PCM bit depth");
+  }
+}
+
+// Linear resample (used only when file rate != target; datasets ship at the
+// target rate, and the Python path with polyphase resampling remains the
+// quality option for offline conversion).
+void resample_linear(const std::vector<float>& in, uint32_t sr_in, uint32_t sr_out,
+                     std::vector<float>* out) {
+  if (sr_in == sr_out || in.empty()) {
+    *out = in;
+    return;
+  }
+  const double ratio = static_cast<double>(sr_in) / sr_out;
+  const size_t n_out = static_cast<size_t>(in.size() / ratio);
+  out->resize(n_out);
+  for (size_t i = 0; i < n_out; ++i) {
+    const double src = i * ratio;
+    const size_t lo = static_cast<size_t>(src);
+    const size_t hi = lo + 1 < in.size() ? lo + 1 : in.size() - 1;
+    const float frac = static_cast<float>(src - lo);
+    (*out)[i] = in[lo] * (1.0f - frac) + in[hi] * frac;
+  }
+}
+
+bool read_file(const char* path, std::vector<uint8_t>* buf, std::string* err) {
+  std::FILE* f = std::fopen(path, "rb");
+  if (!f) {
+    *err = "cannot open file";
+    return false;
+  }
+  std::fseek(f, 0, SEEK_END);
+  long sz = std::ftell(f);
+  std::fseek(f, 0, SEEK_SET);
+  if (sz < 0) {
+    std::fclose(f);
+    *err = "cannot stat file";
+    return false;
+  }
+  buf->resize(static_cast<size_t>(sz));
+  size_t got = sz ? std::fread(buf->data(), 1, static_cast<size_t>(sz), f) : 0;
+  std::fclose(f);
+  buf->resize(got);
+  return true;
+}
+
+void load_one(const char* path, int target_sr, int64_t num_samples, float* row,
+              uint8_t* ok, char* err_out, int err_cap) {
+  std::string err;
+  std::vector<uint8_t> buf;
+  std::vector<float> mono, res;
+  Fmt fmt;
+  const uint8_t* data = nullptr;
+  size_t data_len = 0;
+
+  std::memset(row, 0, sizeof(float) * static_cast<size_t>(num_samples));
+  *ok = 0;
+  if (!read_file(path, &buf, &err) || !parse_wav(buf, &fmt, &data, &data_len, &err) ||
+      !decode_mono(fmt, data, data_len, &mono, &err)) {
+    std::snprintf(err_out, err_cap, "%s", err.c_str());
+    return;
+  }
+  const std::vector<float>* src = &mono;
+  if (static_cast<int>(fmt.sample_rate) != target_sr) {
+    resample_linear(mono, fmt.sample_rate, static_cast<uint32_t>(target_sr), &res);
+    src = &res;
+  }
+  const size_t n = src->size() < static_cast<size_t>(num_samples)
+                       ? src->size()
+                       : static_cast<size_t>(num_samples);
+  if (n) std::memcpy(row, src->data(), n * sizeof(float));
+  *ok = 1;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Decode n WAVs into out[n * num_samples] (row-major), filling ok[n] and a
+// fixed-stride error string table. Returns the number of successful rows.
+int avld_load_wav_batch(const char** paths, int n, int target_sr, int64_t num_samples,
+                        float* out, uint8_t* ok, char* errs, int err_stride,
+                        int num_threads) {
+  if (n <= 0) return 0;
+  if (num_threads < 1) num_threads = 1;
+  if (num_threads > n) num_threads = n;
+
+  std::atomic<int> next(0);
+  auto worker = [&]() {
+    for (;;) {
+      int i = next.fetch_add(1);
+      if (i >= n) break;
+      load_one(paths[i], target_sr, num_samples, out + static_cast<size_t>(i) * num_samples,
+               ok + i, errs + static_cast<size_t>(i) * err_stride, err_stride);
+    }
+  };
+  std::vector<std::thread> pool;
+  pool.reserve(num_threads - 1);
+  for (int t = 1; t < num_threads; ++t) pool.emplace_back(worker);
+  worker();
+  for (auto& th : pool) th.join();
+
+  int good = 0;
+  for (int i = 0; i < n; ++i) good += ok[i] ? 1 : 0;
+  return good;
+}
+
+// Introspection hook for the binding layer.
+int avld_abi_version() { return 1; }
+
+}  // extern "C"
