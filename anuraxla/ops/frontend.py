@@ -77,18 +77,27 @@ def log_mel_batch(
         num_frames = min(cfg.target_frames, total)
         first = max(0, (total - cfg.target_frames) // 2)
 
-    P = stft_power(
-        y,
-        n_fft=cfg.n_fft,
-        hop_length=cfg.hop_length,
-        num_frames=num_frames,
-        first_frame=first,
-        backend=backend,  # type: ignore[arg-type]
-    )  # [B, T, F]
-    S = jnp.einsum(
-        "btf,fm->btm", P, fb,
-        preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
-    )
+    if backend == "pallas":
+        # fused framing+DFT+power+mel kernel (ops.pallas_frontend); computes
+        # from frame 0, so the fast path slices afterwards
+        from anuraxla.ops.pallas_frontend import mel_power_pallas
+
+        S = mel_power_pallas(y, cfg, num_frames=first + num_frames)
+        if first:
+            S = jax.lax.slice_in_dim(S, first, first + num_frames, axis=1)
+    else:
+        P = stft_power(
+            y,
+            n_fft=cfg.n_fft,
+            hop_length=cfg.hop_length,
+            num_frames=num_frames,
+            first_frame=first,
+            backend=backend,  # type: ignore[arg-type]
+        )  # [B, T, F]
+        S = jnp.einsum(
+            "btf,fm->btm", P, fb,
+            preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+        )
     S_db = power_to_db(S, amin=cfg.amin, top_db=cfg.top_db)
     S_db = standardize(S_db)
     return crop_or_pad_time(S_db, cfg.target_frames)

@@ -1,0 +1,53 @@
+"""Fused Pallas mel kernel vs the XLA path (interpret mode on CPU; the real
+TPU run is covered by bench/verify drives)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from anuraxla.constants import MelConfig
+from anuraxla.ops.frontend import log_mel_batch
+from anuraxla.ops.pallas_frontend import mel_power_pallas
+from anuraxla.ops.stft import stft_power
+from anuraxla.ops.mel import mel_filterbank
+
+# small config honoring the kernel's alignment contract (hop % 128 == 0)
+CFG = MelConfig(sr=16000, duration=0.5, n_mels=32, fmin=100, fmax=7500,
+                hop_length=128, n_fft=256, target_frames=48)
+
+
+def test_pallas_mel_power_matches_xla(rng):
+    y = (0.1 * rng.standard_normal((2, CFG.num_samples))).astype(np.float32)
+    T = CFG.total_frames
+    got = np.asarray(mel_power_pallas(jnp.asarray(y), CFG, num_frames=T, interpret=True))
+
+    P = stft_power(jnp.asarray(y), n_fft=CFG.n_fft, hop_length=CFG.hop_length,
+                   num_frames=T, backend="matmul")
+    fb = jnp.asarray(mel_filterbank(CFG.sr, CFG.n_fft, CFG.n_mels, CFG.fmin, CFG.fmax))
+    ref = np.asarray(jnp.einsum("btf,fm->btm", P, fb))
+
+    assert got.shape == ref.shape == (2, T, CFG.n_mels)
+    scale = ref.max()
+    np.testing.assert_allclose(got / scale, ref / scale, atol=2e-5)
+
+
+def test_pallas_backend_full_frontend(rng):
+    y = (0.1 * rng.standard_normal((1, CFG.num_samples))).astype(np.float32)
+    import anuraxla.ops.frontend as fe
+    import anuraxla.ops.pallas_frontend as pf
+
+    # route the frontend's pallas backend through interpret mode for CPU
+    orig = pf.mel_power_pallas
+    try:
+        pf.mel_power_pallas = lambda *a, **k: orig(*a, **{**k, "interpret": True})
+        got = np.asarray(log_mel_batch(jnp.asarray(y), CFG, backend="pallas"))
+    finally:
+        pf.mel_power_pallas = orig
+    ref = np.asarray(log_mel_batch(jnp.asarray(y), CFG, backend="matmul"))
+    np.testing.assert_allclose(got, ref, atol=1e-4)
+
+
+def test_pallas_rejects_unaligned_hop():
+    bad = CFG.replace(hop_length=100)
+    with pytest.raises(NotImplementedError):
+        mel_power_pallas(jnp.zeros((1, bad.num_samples)), bad, num_frames=8, interpret=True)
