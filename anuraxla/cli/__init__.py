@@ -33,6 +33,7 @@ COMMANDS = {
     "snapshot-from-log": "anuraxla.cli.snapshot_from_log",
     "run-qout-grid": "anuraxla.cli.run_qout_grid",
     "make-synth-data": "anuraxla.cli.make_synth_data",
+    "scan-soundscape": "anuraxla.cli.scan_soundscape",
 }
 
 # numeric aliases matching the reference filenames

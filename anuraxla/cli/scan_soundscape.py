@@ -1,0 +1,82 @@
+"""``scan-soundscape`` — windowed detection over a long recording (the
+streaming multi-hour configuration; no reference equivalent — the reference
+truncates any input to chunk_seconds). Emits per-window detections CSV plus
+a per-species event summary.
+"""
+
+from __future__ import annotations
+
+import argparse
+from collections import Counter
+from pathlib import Path
+
+from anuraxla.cli.common import (
+    add_batch_args,
+    add_device_arg,
+    add_encoder_args,
+    add_mel_args,
+    apply_device,
+    mel_from_args,
+    project_root_here,
+    resolve_config,
+)
+from anuraxla.pipeline.session import EncoderSession
+from anuraxla.pipeline.stream import scan_soundscape, write_detections_csv
+from anuraxla.utils.io import load_json
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--wav", required=True, type=str, help="long recording to scan")
+    p.add_argument("--config", type=str, default=None)
+    p.add_argument("--detector", type=str, default="radial", choices=["radial", "map"])
+    p.add_argument("--hop-seconds", type=float, default=None,
+                   help="window hop (default: chunk_seconds, i.e. no overlap)")
+    p.add_argument("--no-normalize", action="store_true",
+                   help="skip per-window RMS normalization")
+    p.add_argument("--out", type=str, default=None, help="detections CSV path")
+    add_device_arg(p)
+    add_mel_args(p)
+    add_encoder_args(p)
+    add_batch_args(p)
+    return p
+
+
+def main() -> None:
+    args = build_parser().parse_args()
+    apply_device(args.device)
+    project_root = project_root_here()
+    cfg_path = resolve_config(args.config or "config.json", project_root)
+    cfg = load_json(cfg_path)
+
+    wav = Path(args.wav).expanduser().resolve()
+    if not wav.exists():
+        raise SystemExit(f"❌ WAV not found: {wav}")
+
+    session = EncoderSession(
+        mel=mel_from_args(args, duration=5.0),
+        batch_size=args.batch_size,
+        encoder_dir=Path(args.encoder) if args.encoder else None,
+        project_root=project_root,
+        num_threads=args.io_threads,
+    )
+
+    dets = scan_soundscape(
+        wav, session,
+        detector=args.detector, config=cfg,
+        hop_seconds=args.hop_seconds,
+        normalize=not args.no_normalize,
+    )
+
+    out = Path(args.out) if args.out else wav.with_suffix(".detections.csv")
+    score_name = "best_distance" if args.detector == "radial" else "best_score"
+    write_detections_csv(dets, out, score_name)
+    print(f"💾 detections: {out}")
+
+    counts = Counter(d.species or "NO_DETECT" for d in dets)
+    for sp, n in counts.most_common():
+        print(f"  {sp:30s} {n:6d} windows")
+
+
+if __name__ == "__main__":
+    main()

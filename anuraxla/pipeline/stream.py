@@ -1,0 +1,152 @@
+"""Streaming soundscape detection: windowed chunking of long recordings into
+fixed [B, num_samples] batches, encoded and decided on device.
+
+Capability target: the reference hard-caps every input at ``chunk_seconds``
+(long recordings are simply truncated — ``map_detector_core.py:212-217``,
+SURVEY.md §5.7); processing a multi-hour soundscape required pre-splitting
+into chunk files. Here a recording of any length is scanned in place:
+overlapping analysis windows stream through the batched pipeline
+(optionally sharded over a mesh), producing per-window detections — the
+"streaming multi-hour soundscape" configuration of BASELINE.json.
+"""
+
+from __future__ import annotations
+
+import csv
+import dataclasses
+from pathlib import Path
+from typing import Iterator, List, Optional
+
+import numpy as np
+
+from anuraxla.config import priority_ranks
+from anuraxla.detect.gaussian_map import map_decide
+from anuraxla.detect.radial import radial_decide
+from anuraxla.ops.frontend import rms_normalize_batch
+from anuraxla.pipeline.session import EncoderSession
+from anuraxla.utils.timing import stage_timer
+from anuraxla.utils.wavio import WavStream
+
+
+@dataclasses.dataclass
+class Detection:
+    t_start: float
+    t_end: float
+    detected: bool
+    species: Optional[str]
+    score: float  # best_distance (radial) or best_score (map)
+
+
+def window_batches(
+    stream: WavStream,
+    *,
+    num_samples: int,
+    hop_samples: int,
+    batch_size: int,
+    target_sr: int,
+) -> Iterator[tuple[np.ndarray, np.ndarray, int]]:
+    """Yield ([B, num_samples] float32, start_frames [B], n_valid). The last
+    batch is zero-padded to the fixed size. Resamples per window when the
+    file rate differs from the pipeline rate."""
+    from anuraxla.utils.wavio import resample
+
+    scale = stream.sr / target_sr
+    src_win = int(round(num_samples * scale))
+    src_hop = int(round(hop_samples * scale))
+    starts = list(range(0, max(stream.num_frames - 1, 1), src_hop))
+
+    for i in range(0, len(starts), batch_size):
+        chunk = starts[i : i + batch_size]
+        batch = np.zeros((batch_size, num_samples), np.float32)
+        for j, s in enumerate(chunk):
+            y = stream.read(s, src_win)
+            if stream.sr != target_sr:
+                y = resample(y, stream.sr, target_sr)
+                y = y[:num_samples]
+                if y.shape[0] < num_samples:
+                    y = np.pad(y, (0, num_samples - y.shape[0]))
+            batch[j] = y
+        yield batch, np.asarray(chunk), len(chunk)
+
+
+def scan_soundscape(
+    wav_path: Path,
+    session: EncoderSession,
+    *,
+    detector: str,
+    config: dict,
+    hop_seconds: Optional[float] = None,
+    normalize: bool = True,
+    log=print,
+) -> List[Detection]:
+    """Scan one long recording; returns per-window detections."""
+    from anuraxla.config import read_map, read_radial
+
+    if detector == "radial":
+        species, centroids, thresholds, chunk_seconds = read_radial(config)
+    elif detector == "map":
+        species, means, precs, lds, priors, tau, chunk_seconds = read_map(config)
+    else:
+        raise ValueError(f"unknown detector: {detector}")
+
+    if abs(chunk_seconds - session.mel.duration) > 1e-9:
+        session.mel = session.mel.replace(duration=chunk_seconds)
+        session._fwd = None
+    if session._fwd is None:
+        session.load()
+
+    mel = session.mel
+    hop_seconds = hop_seconds if hop_seconds is not None else chunk_seconds
+    hop_samples = max(1, int(mel.sr * hop_seconds))
+    ranks = priority_ranks(species)
+
+    stream = WavStream(wav_path)
+    out: List[Detection] = []
+    n_windows = 0
+    with stage_timer("scan", log=None) as t:
+        for batch, starts, n_valid in window_batches(
+            stream,
+            num_samples=mel.num_samples,
+            hop_samples=hop_samples,
+            batch_size=session.batch_size,
+            target_sr=mel.sr,
+        ):
+            if normalize:
+                batch, _ = rms_normalize_batch(batch)
+                batch = np.asarray(batch)
+            Z = session.encode_array(batch)
+            if detector == "radial":
+                det, win, best = radial_decide(Z, centroids, thresholds, ranks)
+            else:
+                import jax.numpy as jnp
+
+                tau_arr = jnp.asarray(np.nan if tau is None else tau, jnp.float32)
+                det, win, best = map_decide(Z, means, precs, lds, priors, tau_arr)
+            det, win, best = np.asarray(det), np.asarray(win), np.asarray(best)
+            for j in range(n_valid):
+                t0 = float(starts[j]) / stream.sr
+                out.append(
+                    Detection(
+                        t_start=t0,
+                        t_end=t0 + chunk_seconds,
+                        detected=bool(det[j]),
+                        species=(species[int(win[j])] if det[j] and win[j] >= 0 else None),
+                        score=float(best[j]),
+                    )
+                )
+            n_windows += n_valid
+    rate = n_windows / t.seconds if t.seconds > 0 else float("nan")
+    log(
+        f"✅ scanned {stream.duration_seconds / 3600:.2f} h in {t.seconds:.1f}s "
+        f"({n_windows} windows, {rate:.1f} windows/s, "
+        f"{stream.duration_seconds / max(t.seconds, 1e-9):.0f}x realtime)"
+    )
+    return out
+
+
+def write_detections_csv(dets: List[Detection], path: Path, score_name: str) -> None:
+    with open(path, "w", newline="", encoding="utf-8") as f:
+        w = csv.writer(f)
+        w.writerow(["t_start", "t_end", "detected", "species", score_name])
+        for d in dets:
+            w.writerow([f"{d.t_start:.3f}", f"{d.t_end:.3f}", d.detected, d.species or "NO_DETECT", f"{d.score:.6f}"])

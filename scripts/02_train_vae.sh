@@ -1,0 +1,11 @@
+#!/bin/bash
+# Train the conv VAE and export the encoder artifact.
+# (The reference's 02_train_vae.sh was an empty TODO stub; this one is real.)
+set -euo pipefail
+source "$(dirname "$0")/_env.sh"
+$ANURAXLA train-vae \
+  --root "$TRAIN_CHUNKS" \
+  --out "$ENCODER_DIR" \
+  --steps "${TRAIN_STEPS:-$TRAIN_STEPS_DEFAULT}" \
+  --device "$DEVICE_DEFAULT" \
+  "$@"

@@ -1,0 +1,26 @@
+#!/bin/bash
+# Shared path/parameter environment for the pipeline scripts.
+# Unlike the reference _env.sh, this defines EVERY variable the driver needs
+# (the reference omitted CHUNKS_ROOT and the encoder paths, so its full
+# pipeline could not run as shipped — SURVEY.md quirks).
+
+REPO_ROOT="$(cd "$(dirname "${BASH_SOURCE[0]}")/.." && pwd)"
+export REPO_ROOT
+
+export CHUNKS_ROOT="${CHUNKS_ROOT:-$REPO_ROOT/latent_space_exploration}"
+export TRAIN_CHUNKS="${TRAIN_CHUNKS:-$CHUNKS_ROOT/train_chunks}"
+export VAL_CHUNKS="${VAL_CHUNKS:-$CHUNKS_ROOT/val_chunks}"
+export TEST_CHUNKS="${TEST_CHUNKS:-$CHUNKS_ROOT/test_chunks}"
+export MODELS_DIR="${MODELS_DIR:-$REPO_ROOT/models}"
+export OUTPUTS_DIR="${OUTPUTS_DIR:-$REPO_ROOT/outputs}"
+export ENCODER_DIR="${ENCODER_DIR:-$MODELS_DIR/anuraxla_vae_encoder_v0}"
+export CONFIG_JSON="${CONFIG_JSON:-$REPO_ROOT/config.json}"
+
+export QIN_DEFAULT="${QIN_DEFAULT:-0.95}"
+export QOUT_GRID="${QOUT_GRID:-0.10 0.15 0.20 0.25}"
+export MAX_PER_CLASS_DEFAULT="${MAX_PER_CLASS_DEFAULT:-400}"
+export DEVICE_DEFAULT="${DEVICE_DEFAULT:-auto}"
+export TRAIN_STEPS_DEFAULT="${TRAIN_STEPS_DEFAULT:-2000}"
+
+ANURAXLA="python -m anuraxla"
+export ANURAXLA
