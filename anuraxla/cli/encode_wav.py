@@ -52,6 +52,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--auto-frames", action="store_true",
                    help="take target_frames from the encoder artifact's input shape")
     p.add_argument("--jsonl", action="store_true")
+    p.add_argument("--parquet", type=str, default=None,
+                   help="with --root: also write a features parquet "
+                   "(z0..zD-1 columns + label/file), the artifact format the "
+                   "reference's print-latents tool reads")
     p.add_argument("--precision", type=int, default=6)
     return p
 
@@ -107,6 +111,7 @@ def main() -> None:
         raise SystemExit(f"❌ root not found: {root}")
     tree = scan_species_tree(root)
     idx = 0
+    records = []
     for sp, wavs in tree.items():
         if not wavs:
             continue
@@ -114,9 +119,27 @@ def main() -> None:
         for j, w in enumerate(wavs):
             if ok[j]:
                 emit(w, Z[j], index=idx, label=sp)
+                if args.parquet:
+                    records.append((str(w), sp, Z[j]))
             else:
                 print(f"⚠️ {w}: {errors[j]}", file=sys.stderr)
             idx += 1
+
+    if args.parquet and records:
+        import pandas as pd
+
+        D = records[0][2].shape[0]
+        df = pd.DataFrame(
+            {
+                "file": [r[0] for r in records],
+                "label": [r[1] for r in records],
+                **{f"z{i}": [float(r[2][i]) for r in records] for i in range(D)},
+            }
+        )
+        out = Path(args.parquet).expanduser().resolve()
+        out.parent.mkdir(parents=True, exist_ok=True)
+        df.to_parquet(out)
+        print(f"💾 features parquet: {out} ({len(df)} rows, D={D})", file=sys.stderr)
 
 
 if __name__ == "__main__":
