@@ -9,6 +9,7 @@ import argparse
 from pathlib import Path
 
 from anuraxla.cli.common import (
+    session_kwargs,
     add_batch_args,
     add_device_arg,
     add_encoder_args,
@@ -62,10 +63,9 @@ def run(detector: str, default_out: str, default_root_name: str = "test_chunks")
 
     session = EncoderSession(
         mel=mel_from_args(args, duration=5.0),
-        batch_size=args.batch_size,
         encoder_dir=Path(args.encoder) if args.encoder else None,
         project_root=project_root,
-        num_threads=args.io_threads,
+        **session_kwargs(args),
     )
     run_folder_benchmark(
         root=root, config_path=cfg_path, detector=detector,

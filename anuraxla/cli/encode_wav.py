@@ -21,6 +21,7 @@ from pathlib import Path
 import numpy as np
 
 from anuraxla.cli.common import (
+    session_kwargs,
     add_batch_args,
     add_device_arg,
     add_encoder_args,
@@ -68,10 +69,9 @@ def main() -> None:
     mel = mel_from_args(args, duration=args.duration)
     session = EncoderSession(
         mel=mel,
-        batch_size=args.batch_size,
         encoder_dir=Path(args.encoder) if args.encoder else None,
         project_root=project_root,
-        num_threads=args.io_threads,
+        **session_kwargs(args),
     )
     if args.auto_frames:
         from anuraxla.models.checkpoint import load_or_init_encoder

@@ -74,8 +74,13 @@ def main() -> None:
     if not wav.exists():
         raise SystemExit(f"❌ WAV not found: {wav}")
 
+    # read chunk_seconds before building the session so the frontend compiles
+    # exactly once with the calibrated duration
+    from anuraxla.config import get_chunk_seconds, load_config
+
+    chunk_seconds = get_chunk_seconds(load_config(cfg_path))
     session = EncoderSession(
-        mel=mel_from_args(args, duration=5.0),
+        mel=mel_from_args(args, duration=chunk_seconds),
         encoder_dir=Path(args.encoder) if args.encoder else None,
         project_root=project_root,
         batch_size=1,

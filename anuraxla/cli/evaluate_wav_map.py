@@ -72,8 +72,16 @@ def main() -> None:
     if not wav.exists():
         raise SystemExit(f"❌ WAV not found: {wav}")
 
+    # MAP chunk_seconds resolution chain (map meta -> global) before compile
+    from anuraxla.config import load_config, read_map
+
+    cfg = load_config(cfg_path)
+    try:
+        chunk_seconds = read_map(cfg)[6]
+    except ValueError:
+        chunk_seconds = 5.0
     session = EncoderSession(
-        mel=mel_from_args(args, duration=5.0),
+        mel=mel_from_args(args, duration=chunk_seconds),
         encoder_dir=Path(args.encoder) if args.encoder else None,
         project_root=project_root,
         batch_size=1,

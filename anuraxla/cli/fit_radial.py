@@ -9,6 +9,7 @@ import argparse
 from pathlib import Path
 
 from anuraxla.cli.common import (
+    session_kwargs,
     add_batch_args,
     add_device_arg,
     add_encoder_args,
@@ -65,10 +66,9 @@ def main() -> None:
 
     session = EncoderSession(
         mel=mel_from_args(args, chunk_seconds),
-        batch_size=args.batch_size,
         encoder_dir=Path(args.encoder) if args.encoder else None,
         project_root=project_root,
-        num_threads=args.io_threads,
+        **session_kwargs(args),
     ).load()
 
     cache_dir = Path(args.cache_dir) if args.cache_dir else (project_root / CACHE_DIR_NAME)

@@ -31,6 +31,7 @@ from pathlib import Path
 import numpy as np
 
 from anuraxla.cli.common import (
+    session_kwargs,
     add_batch_args,
     add_device_arg,
     add_encoder_args,
@@ -109,10 +110,9 @@ def main() -> None:
         cfg0 = load_json(cfg_path)
         session = EncoderSession(
             mel=mel_from_args(args, get_chunk_seconds(cfg0)),
-            batch_size=args.batch_size,
             encoder_dir=Path(args.encoder) if args.encoder else None,
             project_root=project_root,
-            num_threads=args.io_threads,
+            **session_kwargs(args),
         ).load()
 
     for q_out in args.q_out_grid:

@@ -11,6 +11,7 @@ from collections import Counter
 from pathlib import Path
 
 from anuraxla.cli.common import (
+    session_kwargs,
     add_batch_args,
     add_device_arg,
     add_encoder_args,
@@ -55,10 +56,9 @@ def main() -> None:
 
     session = EncoderSession(
         mel=mel_from_args(args, duration=5.0),
-        batch_size=args.batch_size,
         encoder_dir=Path(args.encoder) if args.encoder else None,
         project_root=project_root,
-        num_threads=args.io_threads,
+        **session_kwargs(args),
     )
 
     dets = scan_soundscape(

@@ -35,6 +35,7 @@ class EncoderSession:
     encoder_dir: Optional[Path] = None
     project_root: Path = Path(".")
     parity: bool = True
+    backend: str = "matmul"  # "matmul" | "fft" | "pallas"
     num_threads: int = 16
     _enc: object = None
     _params: object = None
@@ -50,11 +51,11 @@ class EncoderSession:
             )
         self._enc, self._params = enc, params
         self.latent_dim = cfg.latent_dim
-        mel_cfg, parity = self.mel, self.parity
+        mel_cfg, parity, backend = self.mel, self.parity, self.backend
 
         @jax.jit
         def fwd(params, audio):
-            mels = log_mel_batch(audio, mel_cfg, parity=parity)
+            mels = log_mel_batch(audio, mel_cfg, parity=parity, backend=backend)
             out = enc.apply(params, mel_to_encoder_input(mels))
             return out["mu"]  # deterministic latent (reference uses z/mu)
 
