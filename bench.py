@@ -24,9 +24,9 @@ import time
 import numpy as np
 
 
-BATCH = 256
+BATCH_CANDIDATES = (1024, 512, 256)  # largest that compiles wins
 SECONDS_PER_CHUNK = 5.0
-MEASURE_SECONDS = 8.0
+MEASURE_SECONDS = 6.0
 BASELINE_CHUNKS = 6
 
 
@@ -40,7 +40,7 @@ def make_audio(batch: int, num_samples: int) -> np.ndarray:
     return out
 
 
-def bench_tpu_pipeline(audio: np.ndarray) -> float:
+def bench_tpu_pipeline(audio: np.ndarray, batch: int) -> float:
     import jax
     import jax.numpy as jnp
 
@@ -67,7 +67,7 @@ def bench_tpu_pipeline(audio: np.ndarray) -> float:
         # roundtrip (async dispatch otherwise just queues work)
         return jnp.sum(best) + jnp.sum(winner)
 
-    a = jnp.asarray(audio)
+    a = jnp.asarray(audio[:batch])
     float(pipeline(params, a))  # compile + warm
 
     iters = 0
@@ -78,7 +78,7 @@ def bench_tpu_pipeline(audio: np.ndarray) -> float:
         if time.perf_counter() - t0 >= MEASURE_SECONDS and iters >= 3:
             break
     dt = time.perf_counter() - t0
-    return BATCH * iters / dt
+    return batch * iters / dt
 
 
 def bench_reference_style_cpu(audio: np.ndarray, n_chunks: int) -> float:
@@ -107,9 +107,17 @@ def bench_reference_style_cpu(audio: np.ndarray, n_chunks: int) -> float:
 def main() -> None:
     from anuraxla.constants import DEFAULT_MEL
 
-    audio = make_audio(BATCH, DEFAULT_MEL.num_samples)
+    audio = make_audio(BATCH_CANDIDATES[0], DEFAULT_MEL.num_samples)
 
-    tpu_rate = bench_tpu_pipeline(audio)
+    tpu_rate = None
+    for batch in BATCH_CANDIDATES:
+        try:
+            tpu_rate = bench_tpu_pipeline(audio, batch)
+            break
+        except Exception as e:  # HBM/compile limits -> smaller batch
+            print(f"# batch {batch} failed ({type(e).__name__}), retrying smaller", file=sys.stderr)
+    if tpu_rate is None:
+        raise SystemExit("all batch sizes failed")
 
     try:
         base_rate = bench_reference_style_cpu(audio, BASELINE_CHUNKS)
