@@ -122,13 +122,24 @@ def analyze_grid(grid_dir: Path, log=print) -> List[dict]:
     return rows
 
 
+def _latest_grid_dir() -> Path | None:
+    """Default like the reference's dated-dir convention: the newest
+    outputs/qout_grid_* under the project root."""
+    from anuraxla.utils.io import find_project_root
+
+    root = find_project_root(Path.cwd())
+    cands = sorted((root / "outputs").glob("qout_grid_*")) if (root / "outputs").exists() else []
+    return cands[-1] if cands else None
+
+
 def main() -> None:
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--grid-dir", type=str, required=True)
+    p.add_argument("--grid-dir", type=str, default=None,
+                   help="default: newest outputs/qout_grid_* under the project root")
     args = p.parse_args()
-    grid_dir = Path(args.grid_dir).expanduser().resolve()
-    if not grid_dir.exists():
-        raise SystemExit(f"❌ grid dir not found: {grid_dir}")
+    grid_dir = Path(args.grid_dir).expanduser().resolve() if args.grid_dir else _latest_grid_dir()
+    if grid_dir is None or not grid_dir.exists():
+        raise SystemExit(f"❌ grid dir not found: {grid_dir or '(no outputs/qout_grid_* found)'}")
     analyze_grid(grid_dir)
 
 

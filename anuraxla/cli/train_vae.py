@@ -55,6 +55,8 @@ def main() -> None:
     p.add_argument("--root", required=True, type=str, help="training chunk tree (per-species subdirs)")
     p.add_argument("--out", type=str, default=None, help="encoder artifact output dir")
     p.add_argument("--ckpt-dir", type=str, default=None, help="orbax train-state checkpoints (resume)")
+    p.add_argument("--save-decoder", action="store_true",
+                   help="also export the full VAE (encoder+decoder) artifact")
     p.add_argument("--steps", type=int, default=2000)
     p.add_argument("--epochs", type=int, default=0, help="0 = loop until --steps")
     p.add_argument("--lr", type=float, default=3e-4)
@@ -101,6 +103,12 @@ def main() -> None:
     out = Path(args.out) if args.out else (project_root / DEFAULT_ENCODER_DIR)
     save_encoder(out, vcfg, encoder_params_from_vae(state.params))
     print(f"💾 encoder artifact: {out}")
+    if args.save_decoder:
+        from anuraxla.models.checkpoint import save_vae
+
+        vdir = Path(str(out) + "_full")
+        save_vae(vdir, vcfg, state.params)
+        print(f"💾 full VAE (encoder+decoder) artifact: {vdir}")
     if args.ckpt_dir:
         save_train_state(args.ckpt_dir, state)
         print(f"💾 train state: {args.ckpt_dir}")

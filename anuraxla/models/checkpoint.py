@@ -62,6 +62,30 @@ def load_encoder(dir_path: str | Path, seed: int = 0) -> tuple[ConvVAEEncoder, A
     return enc, params, cfg
 
 
+def save_vae(dir_path: str | Path, cfg: VAEConfig, vae_params: Any) -> Path:
+    """Full VAE artifact (encoder+decoder) — the analogue of the reference's
+    paired encoder_v0/decoder_v0 model.pt files (REPRODUCE guide §1), one dir:
+        <dir>/vae.msgpack + <dir>/encoder.json
+    """
+    dir_path = Path(dir_path)
+    dir_path.mkdir(parents=True, exist_ok=True)
+    (dir_path / "vae.msgpack").write_bytes(serialization.to_bytes(vae_params))
+    (dir_path / "encoder.json").write_text(json.dumps(_cfg_to_dict(cfg), indent=2))
+    return dir_path
+
+
+def load_vae(dir_path: str | Path, seed: int = 0):
+    """-> (ConvVAE module, params, cfg); reconstructs the param template from
+    the recorded architecture."""
+    from anuraxla.models.vae import init_vae
+
+    dir_path = Path(dir_path)
+    cfg = _cfg_from_dict(json.loads((dir_path / "encoder.json").read_text()))
+    vae, template = init_vae(cfg, seed=seed)
+    params = serialization.from_bytes(template, (dir_path / "vae.msgpack").read_bytes())
+    return vae, params, cfg
+
+
 def save_train_state(ckpt_dir: str | Path, state, step: int | None = None) -> None:
     """Full training-state checkpoint via orbax (resume-capable)."""
     import orbax.checkpoint as ocp
