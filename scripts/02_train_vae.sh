@@ -7,5 +7,6 @@ $ANURAXLA train-vae \
   --root "$TRAIN_CHUNKS" \
   --out "$ENCODER_DIR" \
   --steps "${TRAIN_STEPS:-$TRAIN_STEPS_DEFAULT}" \
+  --batch-size "${TRAIN_BATCH:-64}" \
   --device "$DEVICE_DEFAULT" \
   "$@"
