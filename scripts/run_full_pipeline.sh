@@ -32,6 +32,11 @@ fi
 echo "✅ preflight ok"
 
 bash "$(dirname "$0")/01_normalize_chunks.sh"
+# downstream stages consume the normalized trees (reference flow: "normalized
+# folders are then used for latent encoding", REPRODUCE guide §2)
+export TRAIN_CHUNKS="${TRAIN_CHUNKS}_norm"
+export VAL_CHUNKS="${VAL_CHUNKS}_norm"
+export TEST_CHUNKS="${TEST_CHUNKS}_norm"
 if [ ! -f "$ENCODER_DIR/encoder.msgpack" ]; then
   bash "$(dirname "$0")/02_train_vae.sh"
 else

@@ -1,0 +1,57 @@
+"""Every CLI command must import and expose a parsable argparse surface, and
+the dispatcher must resolve names and numeric aliases."""
+
+import importlib
+import sys
+
+import pytest
+
+from anuraxla.cli import ALIASES, COMMANDS
+
+
+@pytest.mark.parametrize("name,module", sorted(COMMANDS.items()))
+def test_command_help(name, module, monkeypatch, capsys):
+    mod = importlib.import_module(module)
+    assert hasattr(mod, "main"), module
+    monkeypatch.setattr(sys, "argv", ["prog", "--help"])
+    with pytest.raises(SystemExit) as e:
+        mod.main()
+    assert e.value.code == 0
+    out = capsys.readouterr().out
+    assert "usage" in out.lower()
+
+
+def test_aliases_resolve():
+    for alias, target in ALIASES.items():
+        assert target in COMMANDS, (alias, target)
+
+
+def test_reference_flag_names_present():
+    """The reference's flag vocabulary must parse (migration contract)."""
+    checks = {
+        "anuraxla.cli.fit_radial": ["--root", "x", "--q-in", "0.9", "--q-out", "0.1",
+                                    "--max-per-class", "5", "--seed", "1", "--cache",
+                                    "--sr", "48000", "--n-mels", "64", "--target-frames",
+                                    "192", "--fmin", "150", "--fmax", "15000",
+                                    "--hop-length", "384", "--n-fft", "2048",
+                                    "--device", "cpu", "--config", "c.json"],
+        "anuraxla.cli.fit_map": ["--root", "x", "--cov-type", "qda", "--cov-structure",
+                                 "diag", "--priors", "uniform", "--eps", "1e-5",
+                                 "--shrink", "0.2", "--set-tau-q", "0.01"],
+        "anuraxla.cli.evaluate_wav": ["--wav", "f.wav"],
+        "anuraxla.cli.encode_wav": ["--wav", "f.wav", "--duration", "3.0",
+                                    "--auto-frames", "--jsonl", "--precision", "4"],
+        "anuraxla.cli.benchmark_folder": ["--root", "r"],
+        "anuraxla.cli.snapshot_from_log": ["--log", "l", "--q-in", "0.9",
+                                           "--q-out", "0.1", "--out", "o.json"],
+        "anuraxla.cli.print_latents": ["--n", "3", "--all", "--jsonl", "--show-cols",
+                                       "--max-width", "100"],
+        "anuraxla.cli.normalize": ["--base-dir", "d", "--sr", "48000"],
+    }
+    for module, argv in checks.items():
+        mod = importlib.import_module(module)
+        parser = getattr(mod, "build_parser", None)
+        if parser is None:
+            continue  # commands without a build_parser are covered by --help
+        args = parser().parse_args(argv)
+        assert args is not None, module
