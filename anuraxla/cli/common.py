@@ -58,6 +58,11 @@ def add_batch_args(p: argparse.ArgumentParser) -> None:
         choices=["matmul", "fft", "pallas"],
         help="STFT/mel implementation (pallas = fused TPU kernel)",
     )
+    p.add_argument(
+        "--transfer-int16", action="store_true",
+        help="ship audio to the device as PCM16 (half the host->device bytes; "
+        "lossless for 16-bit source files)",
+    )
 
 
 def session_kwargs(args) -> dict:
@@ -66,6 +71,7 @@ def session_kwargs(args) -> dict:
         "num_threads": args.io_threads,
         "parity": not getattr(args, "fast_frontend", False),
         "backend": getattr(args, "frontend_backend", "matmul"),
+        "transfer_int16": getattr(args, "transfer_int16", False),
     }
 
 

@@ -36,6 +36,7 @@ class EncoderSession:
     project_root: Path = Path(".")
     parity: bool = True
     backend: str = "matmul"  # "matmul" | "fft" | "pallas"
+    transfer_int16: bool = False  # ship PCM16 over the host->device link
     num_threads: int = 16
     _enc: object = None
     _params: object = None
@@ -52,9 +53,12 @@ class EncoderSession:
         self._enc, self._params = enc, params
         self.latent_dim = cfg.latent_dim
         mel_cfg, parity, backend = self.mel, self.parity, self.backend
+        i16 = self.transfer_int16
 
         @jax.jit
         def fwd(params, audio):
+            if i16:
+                audio = audio.astype(jnp.float32) / 32768.0
             mels = log_mel_batch(audio, mel_cfg, parity=parity, backend=backend)
             out = enc.apply(params, mel_to_encoder_input(mels))
             return out["mu"]  # deterministic latent (reference uses z/mu)
@@ -63,7 +67,15 @@ class EncoderSession:
         return self
 
     def encode_array(self, audio: np.ndarray) -> np.ndarray:
-        """[B, num_samples] waveforms -> [B, D] latents (device roundtrip)."""
+        """[B, num_samples] waveforms -> [B, D] latents (device roundtrip).
+
+        With ``transfer_int16`` the batch crosses the host->device link as
+        PCM16 (half the bytes — exactly lossless when the source files are
+        16-bit PCM, which the reference's normalized datasets are; for float
+        sources it adds one PCM16 quantization)."""
+        if self.transfer_int16:
+            q = np.clip(np.round(audio * 32768.0), -32768, 32767).astype(np.int16)
+            return np.asarray(self._fwd(self._params, jnp.asarray(q)))
         return np.asarray(self._fwd(self._params, jnp.asarray(audio)))
 
     def encode_paths(self, paths: Sequence[Path]) -> Tuple[np.ndarray, np.ndarray, List[Optional[str]]]:

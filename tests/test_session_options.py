@@ -1,0 +1,46 @@
+"""EncoderSession option coverage: int16 transfer losslessness for PCM16
+sources and fast-frontend decision consistency."""
+
+import numpy as np
+from pathlib import Path
+
+from anuraxla.constants import MelConfig
+from anuraxla.models.checkpoint import save_encoder
+from anuraxla.models.vae import VAEConfig, init_encoder
+from anuraxla.pipeline.session import EncoderSession
+from anuraxla.utils.wavio import read_wav, write_wav
+
+MEL = MelConfig(sr=16000, duration=0.5, target_frames=32, n_mels=32, fmax=7000)
+VCFG = VAEConfig(latent_dim=8, widths=(8, 16), dense_width=16, groups=4, input_hw=(32, 32))
+
+
+def make_session(tmp_path, **kw) -> EncoderSession:
+    enc_dir = tmp_path / "enc"
+    if not (enc_dir / "encoder.msgpack").exists():
+        _, params = init_encoder(VCFG, 0)
+        save_encoder(enc_dir, VCFG, params)
+    return EncoderSession(mel=MEL, batch_size=4, encoder_dir=enc_dir,
+                          project_root=tmp_path, **kw).load()
+
+
+def test_int16_transfer_lossless_for_pcm16_sources(tmp_path, rng):
+    # source chunk stored as PCM16 (the reference's normalized format)
+    y = (0.2 * rng.standard_normal(MEL.num_samples)).astype(np.float32)
+    p = tmp_path / "c.wav"
+    write_wav(p, y, MEL.sr, subtype="PCM_16")
+    audio, _ = read_wav(p, sr=MEL.sr)
+    batch = audio[None, :]
+
+    z_f32 = make_session(tmp_path).encode_array(batch)
+    z_i16 = make_session(tmp_path, transfer_int16=True).encode_array(batch)
+    np.testing.assert_array_equal(z_f32, z_i16)  # exactly lossless
+
+
+def test_fast_frontend_runs_and_differs_slightly(tmp_path, rng):
+    batch = (0.1 * rng.standard_normal((2, MEL.num_samples))).astype(np.float32)
+    z_par = make_session(tmp_path).encode_array(batch)
+    z_fast = make_session(tmp_path, parity=False).encode_array(batch)
+    assert z_par.shape == z_fast.shape
+    # different op order (crop-first stats) but strongly correlated latents
+    c = np.corrcoef(z_par.ravel(), z_fast.ravel())[0, 1]
+    assert c > 0.95, c
