@@ -36,6 +36,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-normalize", action="store_true",
                    help="skip per-window RMS normalization")
     p.add_argument("--out", type=str, default=None, help="detections CSV path")
+    p.add_argument("--extract-dir", type=str, default=None,
+                   help="also write each detected window as a labeled chunk "
+                   "WAV under <dir>/<Species>/ (chunk generation, which the "
+                   "reference leaves out of scope)")
     add_device_arg(p)
     add_mel_args(p)
     add_encoder_args(p)
@@ -72,6 +76,11 @@ def main() -> None:
     score_name = "best_distance" if args.detector == "radial" else "best_score"
     write_detections_csv(dets, out, score_name)
     print(f"💾 detections: {out}")
+
+    if args.extract_dir:
+        from anuraxla.pipeline.stream import extract_detected_chunks
+
+        extract_detected_chunks(wav, dets, Path(args.extract_dir), sr=session.mel.sr)
 
     counts = Counter(d.species or "NO_DETECT" for d in dets)
     for sp, n in counts.most_common():

@@ -144,6 +144,43 @@ def scan_soundscape(
     return out
 
 
+def extract_detected_chunks(
+    wav_path: Path,
+    dets: List[Detection],
+    out_root: Path,
+    *,
+    sr: int,
+    log=print,
+) -> int:
+    """Write each detected window as a per-species chunk WAV under
+    ``out_root/<Species>/`` — turning a raw field recording into the labeled
+    chunk-tree layout every fit/benchmark tool consumes. This is the chunk
+    *generation* step the reference explicitly leaves out of scope
+    (REPRODUCE guide: "Raw WAV-to-chunk generation is not included")."""
+    from anuraxla.utils.wavio import write_wav
+
+    stream = WavStream(wav_path)
+    stem = Path(wav_path).stem
+    n = 0
+    for d in dets:
+        if not d.detected or d.species is None:
+            continue
+        out_dir = Path(out_root) / d.species
+        out_dir.mkdir(parents=True, exist_ok=True)
+        src_start = int(round(d.t_start * stream.sr))
+        src_len = int(round((d.t_end - d.t_start) * stream.sr))
+        y = stream.read(src_start, src_len)
+        if stream.sr != sr:
+            from anuraxla.utils.wavio import resample
+
+            y = resample(y, stream.sr, sr)
+        ms = int(round(d.t_start * 1000))
+        write_wav(out_dir / f"{stem}_t{ms:09d}ms.wav", y, sr, subtype="PCM_16")
+        n += 1
+    log(f"💾 extracted {n} detected chunks under {out_root}")
+    return n
+
+
 def write_detections_csv(dets: List[Detection], path: Path, score_name: str) -> None:
     with open(path, "w", newline="", encoding="utf-8") as f:
         w = csv.writer(f)

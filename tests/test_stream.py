@@ -97,3 +97,15 @@ def test_scan_soundscape_finds_planted_calls(tmp_path, rng):
     write_detections_csv(dets, out, "best_distance")
     lines = out.read_text().splitlines()
     assert lines[0].startswith("t_start") and len(lines) == 21
+
+    # chunk extraction: detected windows become labeled chunk WAVs that the
+    # fit tools can consume directly
+    from anuraxla.pipeline.stream import extract_detected_chunks
+    from anuraxla.utils.wavio import read_wav
+
+    n = extract_detected_chunks(wav, dets, tmp_path / "extracted", sr=SR, log=lambda *a: None)
+    assert n == sum(d.detected for d in dets)
+    wavs_out = list((tmp_path / "extracted" / SPECIES[0]).glob("*.wav"))
+    assert len(wavs_out) >= 1
+    y_out, sr_out = read_wav(wavs_out[0])
+    assert sr_out == SR and y_out.shape[0] == SR  # 1 s windows
