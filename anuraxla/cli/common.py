@@ -59,6 +59,11 @@ def add_batch_args(p: argparse.ArgumentParser) -> None:
         help="STFT/mel implementation (pallas = fused TPU kernel)",
     )
     p.add_argument(
+        "--data-parallel", action="store_true",
+        help="shard encode batches over all local devices (SPMD over a "
+        "'data' mesh axis)",
+    )
+    p.add_argument(
         "--transfer-int16", action="store_true",
         help="ship audio to the device as PCM16 (half the host->device bytes; "
         "lossless for 16-bit source files)",
@@ -72,6 +77,7 @@ def session_kwargs(args) -> dict:
         "parity": not getattr(args, "fast_frontend", False),
         "backend": getattr(args, "frontend_backend", "matmul"),
         "transfer_int16": getattr(args, "transfer_int16", False),
+        "data_parallel": getattr(args, "data_parallel", False),
     }
 
 

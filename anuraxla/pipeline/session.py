@@ -37,6 +37,7 @@ class EncoderSession:
     parity: bool = True
     backend: str = "matmul"  # "matmul" | "fft" | "pallas"
     transfer_int16: bool = False  # ship PCM16 over the host->device link
+    data_parallel: bool = False  # shard batches over all local devices
     num_threads: int = 16
     _enc: object = None
     _params: object = None
@@ -55,15 +56,34 @@ class EncoderSession:
         mel_cfg, parity, backend = self.mel, self.parity, self.backend
         i16 = self.transfer_int16
 
-        @jax.jit
-        def fwd(params, audio):
+        def compute(params, audio):
             if i16:
                 audio = audio.astype(jnp.float32) / 32768.0
             mels = log_mel_batch(audio, mel_cfg, parity=parity, backend=backend)
             out = enc.apply(params, mel_to_encoder_input(mels))
             return out["mu"]  # deterministic latent (reference uses z/mu)
 
-        self._fwd = fwd
+        if self.data_parallel and len(jax.devices()) > 1:
+            # batch-sharded SPMD over the 'data' axis: each chip computes its
+            # shard of the batch, params replicated (anuraxla.parallel)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from anuraxla.parallel.mesh import make_mesh
+
+            mesh = make_mesh()
+            if self.batch_size % mesh.shape["data"] != 0:
+                raise ValueError(
+                    f"batch_size {self.batch_size} must divide by the data axis "
+                    f"({mesh.shape['data']} devices)"
+                )
+            batch_sh = NamedSharding(mesh, P("data"))
+            repl = NamedSharding(mesh, P())
+            self._fwd = jax.jit(
+                compute, in_shardings=(repl, batch_sh), out_shardings=batch_sh
+            )
+            self._params = jax.device_put(self._params, repl)
+        else:
+            self._fwd = jax.jit(compute)
         return self
 
     def encode_array(self, audio: np.ndarray) -> np.ndarray:

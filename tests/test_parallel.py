@@ -122,3 +122,30 @@ def test_sharded_train_step_matches_unsharded(rng, model_axis):
     # parameters after one step agree
     for a, bb in zip(jax.tree.leaves(ref_state.params), jax.tree.leaves(new_state.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(bb), rtol=2e-3, atol=2e-4)
+
+
+def test_session_data_parallel_matches_single(tmp_path, rng):
+    """EncoderSession(data_parallel=True) on the 8-device mesh must produce
+    the same latents as the unsharded session."""
+    from anuraxla.constants import MelConfig
+    from anuraxla.models.checkpoint import save_encoder
+    from anuraxla.models.vae import VAEConfig, init_encoder
+    from anuraxla.pipeline.session import EncoderSession
+
+    mel = MelConfig(sr=16000, duration=0.25, target_frames=32, n_mels=32, fmax=7000)
+    vcfg = VAEConfig(latent_dim=8, widths=(8, 16), dense_width=16, groups=4, input_hw=(32, 32))
+    _, params = init_encoder(vcfg, 0)
+    save_encoder(tmp_path / "enc", vcfg, params)
+
+    batch = (0.1 * rng.standard_normal((16, mel.num_samples))).astype(np.float32)
+    s1 = EncoderSession(mel=mel, batch_size=16, encoder_dir=tmp_path / "enc",
+                        project_root=tmp_path).load()
+    s8 = EncoderSession(mel=mel, batch_size=16, encoder_dir=tmp_path / "enc",
+                        project_root=tmp_path, data_parallel=True).load()
+    np.testing.assert_allclose(s1.encode_array(batch), s8.encode_array(batch),
+                               rtol=2e-4, atol=2e-5)
+
+    # batch size not divisible by the data axis -> clean error
+    with pytest.raises(ValueError, match="divide"):
+        EncoderSession(mel=mel, batch_size=9, encoder_dir=tmp_path / "enc",
+                       project_root=tmp_path, data_parallel=True).load()
