@@ -26,25 +26,34 @@ def process_split(src: Path, dst: Path, sr: int, batch_size: int, log=print) -> 
         out_dir = dst / sp
         out_dir.mkdir(parents=True, exist_ok=True)
         # variable-length files: batch equal-length runs; fall back per-file
+        n_fail = 0
         for i in range(0, len(wavs), batch_size):
             chunk = wavs[i : i + batch_size]
-            ys = []
+            ys, good = [], []
             for w in chunk:
-                y, _ = read_wav(w, sr=sr, mono=True)
-                ys.append(y)
+                try:
+                    y, _ = read_wav(w, sr=sr, mono=True)
+                    ys.append(y)
+                    good.append(w)
+                except Exception as e:  # per-file isolation, like every stage
+                    n_fail += 1
+                    log(f"  ⚠️ {w.name}: {type(e).__name__}: {e}")
+            if not good:
+                continue
             lens = {len(y) for y in ys}
             if len(lens) == 1:
                 batch = np.stack(ys)
                 out, _ = rms_normalize_batch(batch)
                 out = np.asarray(out)
-                for j, w in enumerate(chunk):
+                for j, w in enumerate(good):
                     write_wav(out_dir / w.name, out[j], sr, subtype="PCM_16")
             else:
-                for j, w in enumerate(chunk):
+                for j, w in enumerate(good):
                     out, _ = rms_normalize_batch(ys[j][None])
                     write_wav(out_dir / w.name, np.asarray(out)[0], sr, subtype="PCM_16")
-            n_done += len(chunk)
-        log(f"  {src.name}/{sp}: {len(wavs)} files")
+            n_done += len(good)
+        suffix = f" (failed={n_fail})" if n_fail else ""
+        log(f"  {src.name}/{sp}: {len(wavs)} files{suffix}")
     return n_done
 
 

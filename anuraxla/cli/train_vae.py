@@ -46,7 +46,17 @@ def mel_batch_stream(root: Path, mel, batch_size: int, io_threads: int, epochs: 
             paths, sr=mel.sr, num_samples=mel.num_samples,
             batch_size=batch_size, num_threads=io_threads,
         ):
-            mels = np.asarray(log_mel_batch(batch.audio, mel))
+            audio = batch.audio
+            if not batch.ok.all():
+                # don't train on zeroed failed-decode rows: replace them with
+                # copies of good rows so the batch shape stays fixed
+                good = np.flatnonzero(batch.ok)
+                if good.size == 0:
+                    continue
+                bad = np.flatnonzero(~batch.ok)
+                audio = audio.copy()
+                audio[bad] = audio[good[bad % good.size]]
+            mels = np.asarray(log_mel_batch(audio, mel))
             yield np.asarray(mel_to_encoder_input(mels))
 
 
