@@ -34,6 +34,7 @@ COMMANDS = {
     "run-qout-grid": "anuraxla.cli.run_qout_grid",
     "make-synth-data": "anuraxla.cli.make_synth_data",
     "scan-soundscape": "anuraxla.cli.scan_soundscape",
+    "calibrate-tau": "anuraxla.cli.calibrate_tau",
 }
 
 # numeric aliases matching the reference filenames

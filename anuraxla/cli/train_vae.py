@@ -73,8 +73,7 @@ def main() -> None:
     p.add_argument("--beta", type=float, default=0.25)
     p.add_argument("--latent-dim", type=int, default=128)
     p.add_argument("--bf16", action="store_true", help="bfloat16 compute dtype")
-    p.add_argument("--data-parallel", action="store_true",
-                   help="shard batches over all local devices (pjit)")
+    # --data-parallel comes from add_batch_args (shared with the encode CLIs)
     p.add_argument("--seed", type=int, default=0)
     add_device_arg(p)
     add_mel_args(p)
