@@ -64,7 +64,9 @@ def main() -> None:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--root", required=True, type=str, help="training chunk tree (per-species subdirs)")
     p.add_argument("--out", type=str, default=None, help="encoder artifact output dir")
-    p.add_argument("--ckpt-dir", type=str, default=None, help="orbax train-state checkpoints (resume)")
+    p.add_argument("--ckpt-dir", type=str, default=None, help="orbax train-state checkpoints")
+    p.add_argument("--resume", action="store_true",
+                   help="resume from the latest checkpoint in --ckpt-dir")
     p.add_argument("--save-decoder", action="store_true",
                    help="also export the full VAE (encoder+decoder) artifact")
     p.add_argument("--steps", type=int, default=2000)
@@ -98,15 +100,30 @@ def main() -> None:
 
     stream = mel_batch_stream(Path(args.root), mel, args.batch_size, args.io_threads, args.epochs)
 
+    initial_state = None
+    if args.resume:
+        if not args.ckpt_dir:
+            raise SystemExit("❌ --resume requires --ckpt-dir")
+        from anuraxla.models.checkpoint import restore_train_state
+        from anuraxla.models.train import create_train_state
+
+        _, template = create_train_state(vcfg, tc)
+        initial_state = restore_train_state(args.ckpt_dir, template)
+        print(f"▶ resumed from step {int(initial_state.step)} in {args.ckpt_dir}")
+
     with stage_timer("train", n_items=args.steps * args.batch_size) as t:
         if args.data_parallel and len(jax.devices()) > 1:
             from anuraxla.parallel.train_sharded import train_loop_sharded
 
+            if initial_state is not None:
+                raise SystemExit("❌ --resume with --data-parallel is not supported yet")
             vae, state, metrics = train_loop_sharded(vcfg, tc, stream, num_steps=args.steps)
         else:
             from anuraxla.models.train import train_loop
 
-            vae, state, metrics = train_loop(vcfg, tc, stream, num_steps=args.steps)
+            vae, state, metrics = train_loop(
+                vcfg, tc, stream, num_steps=args.steps, initial_state=initial_state
+            )
     print(f"🏁 {args.steps} steps in {t.seconds:.1f}s ({t.rate:.1f} examples/s); final {metrics}")
 
     out = Path(args.out) if args.out else (project_root / DEFAULT_ENCODER_DIR)

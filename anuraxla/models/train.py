@@ -97,10 +97,14 @@ def train_loop(
     num_steps: int | None = None,
     log_every: int = 50,
     log_fn=print,
+    initial_state: TrainState | None = None,
 ):
     """Single-host training loop over an iterator of [B, T, M, 1] batches.
-    Sharded multi-chip training lives in anuraxla.parallel.train_sharded."""
+    ``initial_state`` resumes from a restored checkpoint. Sharded multi-chip
+    training lives in anuraxla.parallel.train_sharded."""
     vae, state = create_train_state(cfg, tc)
+    if initial_state is not None:
+        state = initial_state
     step_fn = jax.jit(make_train_step(vae, tc.beta))
     rng = jax.random.PRNGKey(tc.seed + 1)
     n = num_steps if num_steps is not None else tc.total_steps

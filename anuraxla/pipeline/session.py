@@ -98,14 +98,25 @@ class EncoderSession:
             return np.asarray(self._fwd(self._params, jnp.asarray(q)))
         return np.asarray(self._fwd(self._params, jnp.asarray(audio)))
 
+    def _dispatch(self, audio: np.ndarray):
+        """Start the device computation without fetching (async dispatch)."""
+        if self.transfer_int16:
+            audio = np.clip(np.round(audio * 32768.0), -32768, 32767).astype(np.int16)
+        return self._fwd(self._params, jnp.asarray(audio))
+
     def encode_paths(self, paths: Sequence[Path]) -> Tuple[np.ndarray, np.ndarray, List[Optional[str]]]:
         """Decode+encode a path list. Returns (Z [N, D], ok [N], errors [N]).
-        Host decode of batch i+1 overlaps device compute of batch i."""
+
+        Three-way overlap: host decode of batch i+1 (prefetch thread), device
+        compute of batch i (async dispatch), host fetch of batch i-1 (2-deep
+        pipelining — the device->host fetch otherwise serializes every step).
+        """
         N = len(paths)
         Z = np.zeros((N, self.latent_dim), np.float32)
         ok = np.zeros(N, bool)
         errors: List[Optional[str]] = [None] * N
         pos = 0
+        pending = None  # (device_result, start, n_valid)
         for batch, n_valid in iter_batches(
             paths,
             sr=self.mel.sr,
@@ -113,11 +124,17 @@ class EncoderSession:
             batch_size=self.batch_size,
             num_threads=self.num_threads,
         ):
-            z = self.encode_array(batch.audio)
-            Z[pos : pos + n_valid] = z[:n_valid]
             ok[pos : pos + n_valid] = batch.ok[:n_valid]
             errors[pos : pos + n_valid] = batch.errors[:n_valid]
+            cur = (self._dispatch(batch.audio), pos, n_valid)
+            if pending is not None:
+                z, p0, nv = pending
+                Z[p0 : p0 + nv] = np.asarray(z)[:nv]
+            pending = cur
             pos += n_valid
+        if pending is not None:
+            z, p0, nv = pending
+            Z[p0 : p0 + nv] = np.asarray(z)[:nv]
         return Z, ok, errors
 
 
