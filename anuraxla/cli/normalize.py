@@ -23,8 +23,15 @@ def process_split(src: Path, dst: Path, sr: int, batch_size: int, log=print) -> 
     tree = scan_species_tree(src)
     n_done = 0
     for sp, wavs in tree.items():
-        out_dir = dst / sp
-        out_dir.mkdir(parents=True, exist_ok=True)
+        sp_src = src / sp
+
+        def out_path(w: Path) -> Path:
+            # preserve nested structure: the scanner recurses, so bare names
+            # from different subdirs must not collide in the output
+            rel = w.relative_to(sp_src)
+            p = dst / sp / rel
+            p.parent.mkdir(parents=True, exist_ok=True)
+            return p
         # variable-length files: batch equal-length runs; fall back per-file
         n_fail = 0
         for i in range(0, len(wavs), batch_size):
@@ -46,11 +53,11 @@ def process_split(src: Path, dst: Path, sr: int, batch_size: int, log=print) -> 
                 out, _ = rms_normalize_batch(batch)
                 out = np.asarray(out)
                 for j, w in enumerate(good):
-                    write_wav(out_dir / w.name, out[j], sr, subtype="PCM_16")
+                    write_wav(out_path(w), out[j], sr, subtype="PCM_16")
             else:
                 for j, w in enumerate(good):
                     out, _ = rms_normalize_batch(ys[j][None])
-                    write_wav(out_dir / w.name, np.asarray(out)[0], sr, subtype="PCM_16")
+                    write_wav(out_path(w), np.asarray(out)[0], sr, subtype="PCM_16")
             n_done += len(good)
         suffix = f" (failed={n_fail})" if n_fail else ""
         log(f"  {src.name}/{sp}: {len(wavs)} files{suffix}")

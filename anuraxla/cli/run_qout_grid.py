@@ -124,15 +124,26 @@ def main() -> None:
 
         with stage_timer(f"grid point q_out={q_out}"):
             if args.subprocess_compat:
+                # forward every parameter that changes results, so this mode
+                # really reproduces the in-process grid point
+                shared = [
+                    "--config", str(cfg_path), "--device", args.device,
+                    "--sr", str(args.sr), "--n-mels", str(args.n_mels),
+                    "--target-frames", str(args.target_frames),
+                    "--fmin", str(args.fmin), "--fmax", str(args.fmax),
+                    "--hop-length", str(args.hop_length), "--n-fft", str(args.n_fft),
+                    "--batch-size", str(args.batch_size), "--io-threads", str(args.io_threads),
+                ]
+                if args.encoder:
+                    shared += ["--encoder", args.encoder]
                 with open(runlog, "w", encoding="utf-8") as lf:
                     for cmd in (
                         [sys.executable, "-m", "anuraxla", "fit-radial",
                          "--root", str(train_dir), "--q-in", str(args.q_in), "--q-out", str(q_out),
                          "--max-per-class", str(args.max_per_class), "--cache",
-                         "--config", str(cfg_path)],
+                         "--seed", str(args.seed)] + shared,
                         [sys.executable, "-m", "anuraxla", "benchmark-folder",
-                         "--root", str(val_dir), "--config", str(cfg_path),
-                         "--out-dir", str(bench_out)],
+                         "--root", str(val_dir), "--out-dir", str(bench_out)] + shared,
                     ):
                         r = subprocess.run(cmd, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
                         lf.write(r.stdout)

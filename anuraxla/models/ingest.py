@@ -98,9 +98,10 @@ def torch_twin_encoder(cfg: VAEConfig):
         def __init__(self, cin, w, groups):
             super().__init__()
             self.conv1 = torch_nn.Conv2d(cin, w, 3, stride=2, padding=0)
-            self.gn1 = torch_nn.GroupNorm(min(groups, w), w)
+            # eps=1e-6 matches flax.linen.GroupNorm's default (torch's is 1e-5)
+            self.gn1 = torch_nn.GroupNorm(min(groups, w), w, eps=1e-6)
             self.conv2 = torch_nn.Conv2d(w, w, 3, stride=1, padding=1)
-            self.gn2 = torch_nn.GroupNorm(min(groups, w), w)
+            self.gn2 = torch_nn.GroupNorm(min(groups, w), w, eps=1e-6)
 
         def forward(self, x):
             x = F.pad(x, (0, 1, 0, 1))  # XLA SAME, stride 2, even dims

@@ -30,15 +30,14 @@ def make_sharded_encode(
 ) -> Callable:
     """Build jit(params, audio [B, L]) -> latents [B, D] with the batch sharded
     over mesh['data'] and params replicated. B must divide by the data axis."""
-    batch_shard = NamedSharding(mesh, P("data"))
-    repl = NamedSharding(mesh, P())
+    from anuraxla.parallel.mesh import jit_batch_sharded
 
-    @partial(jax.jit, in_shardings=(repl, batch_shard), out_shardings=batch_shard)
     def encode(params, audio):
         mels = log_mel_batch(audio, mel, parity=parity)
         return encoder_apply(params, mel_to_encoder_input(mels))["mu"]
 
-    return encode
+    jitted, _, _ = jit_batch_sharded(encode, mesh=mesh)
+    return jitted
 
 
 def sharded_pooled_cov(mesh: Mesh):

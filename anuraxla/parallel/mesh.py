@@ -11,7 +11,7 @@ construction for pipeline, training, and the multi-chip dry run.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Callable, Optional, Sequence
 
 import jax
 import numpy as np
@@ -47,6 +47,23 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def jit_batch_sharded(fn, *, mesh: Optional[Mesh] = None, batch_size: Optional[int] = None):
+    """jit ``fn(params, batch)`` with the batch sharded over mesh['data'] and
+    params replicated — the one place this construction lives (used by both
+    parallel.encode and pipeline.session). Returns (jitted_fn, replicated
+    sharding, mesh). Validates batch divisibility when batch_size is given."""
+    mesh = mesh or make_mesh()
+    if batch_size is not None and batch_size % mesh.shape["data"] != 0:
+        raise ValueError(
+            f"batch_size {batch_size} must divide by the data axis "
+            f"({mesh.shape['data']} devices)"
+        )
+    batch_sh = NamedSharding(mesh, P("data"))
+    repl = NamedSharding(mesh, P())
+    jitted = jax.jit(fn, in_shardings=(repl, batch_sh), out_shardings=batch_sh)
+    return jitted, repl, mesh
 
 
 def pad_to_multiple(x: np.ndarray, multiple: int, axis: int = 0) -> tuple[np.ndarray, int]:

@@ -72,6 +72,7 @@ def run_folder_benchmark(
 
     if abs(chunk_seconds - session.mel.duration) > 1e-9:
         session.mel = session.mel.replace(duration=chunk_seconds)
+        session._fwd = None  # invalidate any frontend compiled for the old duration
     if session._fwd is None:
         session.load()
 

@@ -9,14 +9,15 @@ import math
 from pathlib import Path
 from typing import Any, Dict, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from anuraxla import config as cfgmod
 from anuraxla.constants import MelConfig
 from anuraxla.detect.gaussian_map import fit_map, true_class_score_summary
-from anuraxla.detect.radial import fit_radial, summarize_masked
-from anuraxla.ops.quantiles import masked_quantile
+from anuraxla.detect.radial import fit_radial
+from anuraxla.ops.quantiles import masked_quantile, quantile_sorted
 from anuraxla.pipeline.session import EncoderSession, encode_species_tree, pad_species_latents
 
 
@@ -51,22 +52,28 @@ def fit_radial_tree(
     species, Z, mask = pad_species_latents(Z_by)
     fit = fit_radial(jnp.asarray(Z), jnp.asarray(mask), q_in, q_out)
 
-    # per-species meta with rho summaries (reference meta_fit shape, 08:544-553)
-    diff_in = Z - np.asarray(fit.centroids)[:, None, :]
-    rho_in = np.sqrt(np.maximum((diff_in * diff_in).sum(-1), 0.0))
-    in_summary = {k: np.asarray(v) for k, v in summarize_masked(jnp.asarray(rho_in), jnp.asarray(mask)).items()}
+    # per-species meta with rho summaries (reference meta_fit shape,
+    # 08:544-553), derived from the fit's sorted distance pools — the
+    # distances were already computed on device, no host recompute
+    def pool_summary(sorted_pool, n_valid):
+        sp_arr = np.asarray(sorted_pool)  # [K, N] ascending, +inf padded
+        n = np.asarray(n_valid).astype(int)
+        qs = np.asarray(
+            jax.vmap(lambda q: quantile_sorted(jnp.asarray(sp_arr), q, jnp.asarray(n)))(
+                jnp.asarray([0.5, 0.9], jnp.float32)
+            )
+        )  # [2, K]
+        empty = n == 0
+        last = np.clip(n - 1, 0, sp_arr.shape[1] - 1)
+        return {
+            "min": np.where(empty, np.nan, sp_arr[:, 0]),
+            "p50": np.where(empty, np.nan, qs[0]),
+            "p90": np.where(empty, np.nan, qs[1]),
+            "max": np.where(empty, np.nan, sp_arr[np.arange(sp_arr.shape[0]), last]),
+        }
 
-    K, Nmax, D = Z.shape
-    flatZ = Z.reshape(K * Nmax, D)
-    owner = np.repeat(np.arange(K), Nmax)
-    valid = mask.reshape(K * Nmax)
-    d_all = np.sqrt(
-        np.maximum(
-            ((flatZ[:, None, :] - np.asarray(fit.centroids)[None, :, :]) ** 2).sum(-1), 0.0
-        )
-    ).T  # [K, K*Nmax]
-    out_mask = valid[None, :] & (owner[None, :] != np.arange(K)[:, None])
-    out_summary = {k: np.asarray(v) for k, v in summarize_masked(jnp.asarray(d_all), jnp.asarray(out_mask)).items()}
+    in_summary = pool_summary(fit.rho_in_sorted, fit.n_in)
+    out_summary = pool_summary(fit.rho_out_sorted, fit.n_out)
 
     meta: Dict[str, Dict[str, Any]] = {}
     rk_in = np.asarray(fit.rk_in)

@@ -53,6 +53,7 @@ class EncoderSession:
             )
         self._enc, self._params = enc, params
         self.latent_dim = cfg.latent_dim
+        self._fingerprint = None  # computed lazily (hashes the params once)
         mel_cfg, parity, backend = self.mel, self.parity, self.backend
         i16 = self.transfer_int16
 
@@ -66,21 +67,9 @@ class EncoderSession:
         if self.data_parallel and len(jax.devices()) > 1:
             # batch-sharded SPMD over the 'data' axis: each chip computes its
             # shard of the batch, params replicated (anuraxla.parallel)
-            from jax.sharding import NamedSharding, PartitionSpec as P
+            from anuraxla.parallel.mesh import jit_batch_sharded
 
-            from anuraxla.parallel.mesh import make_mesh
-
-            mesh = make_mesh()
-            if self.batch_size % mesh.shape["data"] != 0:
-                raise ValueError(
-                    f"batch_size {self.batch_size} must divide by the data axis "
-                    f"({mesh.shape['data']} devices)"
-                )
-            batch_sh = NamedSharding(mesh, P("data"))
-            repl = NamedSharding(mesh, P())
-            self._fwd = jax.jit(
-                compute, in_shardings=(repl, batch_sh), out_shardings=batch_sh
-            )
+            self._fwd, repl, _mesh = jit_batch_sharded(compute, batch_size=self.batch_size)
             self._params = jax.device_put(self._params, repl)
         else:
             self._fwd = jax.jit(compute)
@@ -152,6 +141,28 @@ def mel_fingerprint(mel: MelConfig) -> str:
     )
 
 
+def session_fingerprint(session: EncoderSession) -> str:
+    """Cache key covering everything that changes latents: mel parameters,
+    frontend mode (parity/backend), and the encoder WEIGHTS (hash of the
+    serialized params — a retrained encoder must invalidate caches even when
+    its path and the mel config are unchanged)."""
+    if getattr(session, "_fingerprint", None):
+        return session._fingerprint
+    import hashlib
+
+    from flax import serialization
+
+    digest = hashlib.blake2b(
+        serialization.to_bytes(session._params), digest_size=10
+    ).hexdigest()
+    fp = (
+        f"{mel_fingerprint(session.mel)}_p{int(session.parity)}"
+        f"_{session.backend}_e{digest}"
+    )
+    session._fingerprint = fp
+    return fp
+
+
 def encode_species_tree(
     session: EncoderSession,
     chunks_dir: Path,
@@ -178,7 +189,7 @@ def encode_species_tree(
     Z_by: Dict[str, np.ndarray] = {}
     failed: Dict[str, int] = {}
     used: Dict[str, int] = {}
-    fp = mel_fingerprint(session.mel)
+    fp = session_fingerprint(session)
 
     for sp in species:
         wavs = tree.get(sp, [])
@@ -186,6 +197,8 @@ def encode_species_tree(
         if cpath is not None and cpath.exists():
             data = np.load(cpath, allow_pickle=False)
             stale = "mel_fp" in data and str(data["mel_fp"]) != fp
+            if "mel_fp" not in data:
+                stale = True  # legacy/unfingerprinted cache: re-encode rather than trust
             if not stale:
                 Zm = data["Z"].astype(np.float32)
                 Z_by[sp] = Zm
@@ -193,7 +206,7 @@ def encode_species_tree(
                 used[sp] = int(Zm.shape[0])
                 log(f"🧊 {sp}: cache {cpath.name} -> N={Zm.shape[0]}")
                 continue
-            log(f"♻️ {sp}: cache stale (mel params changed), re-encoding")
+            log(f"♻️ {sp}: cache stale (mel/frontend/encoder changed), re-encoding")
 
         if not wavs:
             log(f"⚠️ {sp}: no wavs under {Path(chunks_dir) / sp} (skipped)")

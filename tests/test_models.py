@@ -105,14 +105,13 @@ def test_torch_ingest_bit_parity(rng):
     enc = ConvVAEEncoder(SMALL)
     j_out = enc.apply(flax_params, jnp.asarray(x))
 
-    # rtol accounts for f32 accumulation-order differences between torch BLAS
-    # and XLA (observed up to ~1e-3 relative on near-zero head outputs when
-    # another test's scipy import swaps the BLAS threading underneath torch)
+    # rtol covers f32 accumulation-order differences between torch BLAS and
+    # XLA only (GroupNorm eps now matches flax exactly)
     np.testing.assert_allclose(
-        np.asarray(j_out["mu"]), t_out["mu"].numpy(), rtol=2e-3, atol=1e-4
+        np.asarray(j_out["mu"]), t_out["mu"].numpy(), rtol=5e-4, atol=2e-5
     )
     np.testing.assert_allclose(
-        np.asarray(j_out["logvar"]), t_out["logvar"].numpy(), rtol=2e-3, atol=1e-4
+        np.asarray(j_out["logvar"]), t_out["logvar"].numpy(), rtol=5e-4, atol=2e-5
     )
 
 
