@@ -145,7 +145,17 @@ def main() -> None:
                         [sys.executable, "-m", "anuraxla", "benchmark-folder",
                          "--root", str(val_dir), "--out-dir", str(bench_out)] + shared,
                     ):
-                        r = subprocess.run(cmd, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+                        import os
+
+                        env = dict(os.environ)
+                        repo_root = str(Path(__file__).resolve().parents[2])
+                        env["PYTHONPATH"] = repo_root + (
+                            ":" + env["PYTHONPATH"] if env.get("PYTHONPATH") else ""
+                        )
+                        r = subprocess.run(
+                            cmd, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                            text=True, env=env,
+                        )
                         lf.write(r.stdout)
                         sys.stdout.write(r.stdout)
                         if r.returncode != 0:

@@ -73,3 +73,49 @@ def test_native_is_used_by_dataset_layer(wav_dir, monkeypatch):
 def test_native_empty_batch():
     b = wavloader.load_batch([], sr=48000, num_samples=100)
     assert b.audio.shape == (0, 100)
+
+
+def _write_pcm24(path, samples_f32, sr):
+    """Hand-rolled 24-bit PCM writer (write_wav doesn't emit 24-bit)."""
+    import struct
+
+    q = np.clip(np.round(samples_f32 * (1 << 23)), -(1 << 23), (1 << 23) - 1).astype(np.int64)
+    payload = b"".join(int(v & 0xFFFFFF).to_bytes(3, "little") for v in q)
+    fmt = struct.pack("<HHIIHH", 1, 1, sr, sr * 3, 3, 24)
+    buf = b"".join([
+        b"RIFF", struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(payload)), b"WAVE",
+        b"fmt ", struct.pack("<I", len(fmt)), fmt,
+        b"data", struct.pack("<I", len(payload)), payload,
+    ])
+    path.write_bytes(buf)
+
+
+def _write_pcm8(path, samples_f32, sr):
+    import struct
+
+    q = np.clip(np.round(samples_f32 * 128.0 + 128.0), 0, 255).astype(np.uint8)
+    payload = q.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sr, sr, 1, 8)
+    buf = b"".join([
+        b"RIFF", struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(payload)), b"WAVE",
+        b"fmt ", struct.pack("<I", len(fmt)), fmt,
+        b"data", struct.pack("<I", len(payload)), payload,
+    ])
+    path.write_bytes(buf)
+
+
+@needs_native
+def test_native_pcm24_and_pcm8_match_python(tmp_path, rng):
+    y = (0.4 * np.sin(2 * np.pi * 440 * np.arange(4000) / 16000)).astype(np.float32)
+    p24 = tmp_path / "a24.wav"
+    p8 = tmp_path / "a8.wav"
+    _write_pcm24(p24, y, 16000)
+    _write_pcm8(p8, y, 16000)
+
+    nb = wavloader.load_batch([p24, p8], sr=16000, num_samples=4000, num_threads=2)
+    pb = load_wav_batch([p24, p8], sr=16000, num_samples=4000, use_native=False)
+    assert nb.ok.all() and pb.ok.all()
+    np.testing.assert_allclose(nb.audio, pb.audio, atol=1e-7)
+    # decoded values approximate the source at the bit depth's resolution
+    np.testing.assert_allclose(nb.audio[0], y, atol=1.0 / (1 << 22))
+    np.testing.assert_allclose(nb.audio[1], y, atol=1.5 / 128)
