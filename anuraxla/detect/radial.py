@@ -135,20 +135,3 @@ def radial_decide(
     winner = jnp.argmin(key, axis=1).astype(jnp.int32)
     winner = jnp.where(detected, winner, -1)
     return detected, winner, jnp.min(d, axis=1)
-
-
-def summarize_masked(x: jax.Array, mask: jax.Array) -> dict[str, jax.Array]:
-    """min/p50/p90/max summary of masked values — the reference's
-    summarize_dist (``08_fit_radial_detector.py:115-123``). NaN when empty."""
-    n = jnp.sum(mask, axis=-1)
-    qs = masked_quantile(x, mask, jnp.asarray([0.5, 0.9], jnp.float32))
-    mn = jnp.min(jnp.where(mask, x, jnp.inf), axis=-1)
-    mx = jnp.max(jnp.where(mask, x, -jnp.inf), axis=-1)
-    nan = jnp.nan
-    empty = n == 0
-    return {
-        "min": jnp.where(empty, nan, mn),
-        "p50": jnp.where(empty, nan, qs[..., 0]),
-        "p90": jnp.where(empty, nan, qs[..., 1]),
-        "max": jnp.where(empty, nan, mx),
-    }

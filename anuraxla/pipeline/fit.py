@@ -17,7 +17,7 @@ from anuraxla import config as cfgmod
 from anuraxla.constants import MelConfig
 from anuraxla.detect.gaussian_map import fit_map, true_class_score_summary
 from anuraxla.detect.radial import fit_radial
-from anuraxla.ops.quantiles import masked_quantile, quantile_sorted
+from anuraxla.ops.quantiles import quantile_sorted
 from anuraxla.pipeline.session import EncoderSession, encode_species_tree, pad_species_latents
 
 

@@ -233,3 +233,24 @@ def test_08_dispatcher_lists_commands(monkeypatch, capsys):
     assert e.value.code == 0
     out = capsys.readouterr().out
     assert "fit-radial" in out and "run-qout-grid" in out
+
+
+def test_09_calibrate_tau(tree, monkeypatch, capsys):
+    from anuraxla.cli import calibrate_tau
+
+    code, out = run_cli(
+        calibrate_tau,
+        ["--train-root", "train_chunks", "--val-root", "val_chunks",
+         "--tau-q-grid", "0.01", "0.1", "--shrink", "0.2", "--set-best"] + MEL_FLAGS,
+        tree, monkeypatch, capsys,
+    )
+    assert code == 0
+    assert (tree / "outputs" / "tau_grid.csv").exists()
+    import csv
+
+    with open(tree / "outputs" / "tau_grid.csv") as f:
+        rows = list(csv.DictReader(f))
+    assert len(rows) == 2
+    assert {"tau_q", "tau", "val_accuracy", "val_no_detect_rate"} <= set(rows[0])
+    cfg = json.loads((tree / "config.json").read_text())
+    assert cfg["map_detector"]["tau"] is not None
