@@ -55,7 +55,7 @@ def add_batch_args(p: argparse.ArgumentParser) -> None:
     )
     p.add_argument(
         "--frontend-backend", type=str, default="matmul",
-        choices=["matmul", "fft", "pallas"],
+        choices=["matmul", "ct", "fft", "pallas"],
         help="STFT/mel implementation (pallas = fused TPU kernel)",
     )
     p.add_argument(

@@ -106,3 +106,23 @@ def test_rms_normalize_matches_reference(rng):
     np.testing.assert_allclose(out[0], ref, atol=1e-6)
     assert scaled[0] and not scaled[1]
     np.testing.assert_allclose(out[1], quiet, atol=0)  # silence passes through
+
+
+def test_ct_backend_matches_oracle(rng):
+    """Cooley–Tukey matmul factorization: same math as the dense bases, and
+    empirically ~1000x closer to the fft oracle (fewer f32 accumulations)."""
+    y = synth(rng, 1, CFG.num_samples)
+    ours = np.asarray(
+        stft_power(y, n_fft=CFG.n_fft, hop_length=CFG.hop_length,
+                   num_frames=CFG.total_frames, backend="ct")
+    )
+    ref = stft_power_np(y[0], CFG.n_fft, CFG.hop_length)
+    scale = ref.max()
+    np.testing.assert_allclose(ours[0].T / scale, ref / scale, atol=5e-6)
+
+
+def test_ct_backend_full_frontend(rng):
+    y = synth(rng, 1, CFG.num_samples)
+    got = np.asarray(log_mel_batch(y, CFG, backend="ct"))
+    ref = np.asarray(log_mel_batch(y, CFG, backend="fft"))
+    np.testing.assert_allclose(got, ref, atol=1e-4)
