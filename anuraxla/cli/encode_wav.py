@@ -29,7 +29,6 @@ from anuraxla.cli.common import (
     mel_from_args,
     project_root_here,
 )
-from anuraxla.constants import MelConfig
 from anuraxla.pipeline.dataset import load_wav_batch, scan_species_tree
 from anuraxla.pipeline.session import EncoderSession
 

@@ -13,7 +13,7 @@ from pathlib import Path
 import numpy as np
 
 from anuraxla.ops.frontend import rms_normalize_batch
-from anuraxla.pipeline.dataset import load_wav_batch, scan_species_tree
+from anuraxla.pipeline.dataset import scan_species_tree
 from anuraxla.utils.timing import stage_timer
 from anuraxla.utils.wavio import read_wav, write_wav
 from anuraxla.cli.common import apply_device

@@ -19,16 +19,12 @@ Two execution modes:
 from __future__ import annotations
 
 import argparse
-import contextlib
 import io
-import json
 import shutil
 import subprocess
 import sys
 from datetime import datetime
 from pathlib import Path
-
-import numpy as np
 
 from anuraxla.cli.common import (
     session_kwargs,

@@ -17,7 +17,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from anuraxla.detect.radial import RadialFit, radial_decide, thresholds_for_q
+from anuraxla.detect.radial import RadialFit, radial_decide
 from anuraxla.ops.linalg import gaussian_log_likelihood
 from anuraxla.ops.quantiles import quantile_sorted
 

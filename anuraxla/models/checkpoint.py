@@ -19,7 +19,6 @@ import json
 from pathlib import Path
 from typing import Any
 
-import jax
 import jax.numpy as jnp
 from flax import serialization
 

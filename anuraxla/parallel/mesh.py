@@ -11,7 +11,7 @@ construction for pipeline, training, and the multi-chip dry run.
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Sequence
+from typing import Optional, Sequence
 
 import jax
 import numpy as np

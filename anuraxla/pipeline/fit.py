@@ -14,7 +14,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from anuraxla import config as cfgmod
-from anuraxla.constants import MelConfig
 from anuraxla.detect.gaussian_map import fit_map, true_class_score_summary
 from anuraxla.detect.radial import fit_radial
 from anuraxla.ops.quantiles import quantile_sorted
