@@ -60,6 +60,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="default: <project>/outputs/qout_grid_<YYYYMMDD>")
     p.add_argument("--subprocess-compat", action="store_true")
     p.add_argument("--analyze", action="store_true", help="run spearman analysis at the end")
+    p.add_argument("--device-sweep", action="store_true",
+                   help="additionally evaluate the FULL (q_in x q_out) grid as "
+                   "one on-device sweep (detect.calibrate.radial_qgrid) and "
+                   "write grid_metrics.csv — no re-encoding, no per-point refits")
+    p.add_argument("--q-in-grid", type=float, nargs="*", default=None,
+                   help="q_in values for --device-sweep (default: just --q-in)")
     add_device_arg(p)
     add_mel_args(p)
     add_encoder_args(p)
@@ -188,10 +194,73 @@ def main() -> None:
             print("⚠️ snapshot has no rk values — fit log format changed?")
         print(f"✅ saved -> {outdir}")
 
+    if args.device_sweep:
+        if args.subprocess_compat:
+            print("⚠️ --device-sweep needs the in-process session; skipping")
+        else:
+            _device_sweep(args, session, cfg_path, train_dir, val_dir, grid_root, project_root)
+
     if args.analyze:
         from anuraxla.cli.spearman_analysis import analyze_grid
 
         analyze_grid(grid_root)
+
+
+def _device_sweep(args, session, cfg_path, train_dir, val_dir, grid_root, project_root):
+    """Encode train (cached) + val once, then evaluate every (q_in, q_out)
+    pair in a single jit — the sweep the reference approximates with one full
+    pipeline re-run per point."""
+    import csv
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from anuraxla.config import priority_ranks, require_species
+    from anuraxla.detect.calibrate import radial_qgrid
+    from anuraxla.detect.radial import fit_radial
+    from anuraxla.pipeline.session import encode_species_tree, pad_species_latents
+
+    cfg = load_json(cfg_path)
+    species_all = require_species(cfg)
+    Z_by, _, _ = encode_species_tree(
+        session, train_dir, species_all, cache=True,
+        cache_dir=project_root / CACHE_DIR_NAME,
+        max_per_class=args.max_per_class, seed=args.seed, log=lambda *a: None,
+    )
+    species, Z, mask = pad_species_latents(Z_by)
+    fit = fit_radial(jnp.asarray(Z), jnp.asarray(mask), args.q_in, args.q_out_grid[0])
+
+    Zv_by, _, _ = encode_species_tree(
+        session, val_dir, species, cache=False, cache_dir=None,
+        max_per_class=0, seed=args.seed, log=lambda *a: None,
+    )
+    Zv = np.concatenate([Zv_by[sp] for sp in species if sp in Zv_by])
+    true_idx = np.concatenate(
+        [np.full(len(Zv_by[sp]), i, np.int32) for i, sp in enumerate(species) if sp in Zv_by]
+    )
+
+    q_in_grid = args.q_in_grid if args.q_in_grid else [args.q_in]
+    with stage_timer(f"device sweep {len(q_in_grid)}x{len(args.q_out_grid)} grid"):
+        gm = radial_qgrid(
+            fit, jnp.asarray(Zv), jnp.asarray(true_idx),
+            jnp.asarray(priority_ranks(species)),
+            np.asarray(q_in_grid, np.float32), np.asarray(args.q_out_grid, np.float32),
+        )
+    acc = np.asarray(gm.accuracy)
+    nod = np.asarray(gm.no_detect_rate)
+    accp = np.asarray(gm.acc_per_class)
+    nodp = np.asarray(gm.no_detect_per_class)
+
+    out = grid_root / "grid_metrics.csv"
+    with open(out, "w", newline="", encoding="utf-8") as f:
+        w = csv.writer(f)
+        w.writerow(["q_in", "q_out", "val_accuracy", "val_no_detect_rate"]
+                   + [f"acc_{sp}" for sp in species] + [f"no_detect_{sp}" for sp in species])
+        for i, qi in enumerate(q_in_grid):
+            for j, qo in enumerate(args.q_out_grid):
+                w.writerow([qi, qo, float(acc[i, j]), float(nod[i, j])]
+                           + [float(v) for v in accp[i, j]] + [float(v) for v in nodp[i, j]])
+    print(f"💾 on-device grid metrics: {out}")
 
 
 if __name__ == "__main__":

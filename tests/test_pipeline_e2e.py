@@ -203,6 +203,30 @@ def test_06_qout_grid_and_spearman(tree, monkeypatch, capsys):
     assert "GLOBAL" in scopes and "PER_CLASS" in scopes
 
 
+def test_06b_device_sweep_grid_metrics(tree, monkeypatch, capsys):
+    from anuraxla.cli import run_qout_grid
+
+    grid_root = tree / "outputs" / "qout_grid_sweep"
+    code, out = run_cli(
+        run_qout_grid,
+        ["--train-root", "train_chunks", "--val-root", "val_chunks",
+         "--q-in", "0.9", "--q-out-grid", "0.10", "0.20",
+         "--q-in-grid", "0.8", "0.9", "--device-sweep",
+         "--grid-root", str(grid_root), "--max-per-class", "5"] + MEL_FLAGS,
+        tree, monkeypatch, capsys,
+    )
+    assert code == 0
+    import csv
+
+    with open(grid_root / "grid_metrics.csv") as f:
+        rows = list(csv.DictReader(f))
+    assert len(rows) == 2 * 2  # (q_in grid) x (q_out grid)
+    assert {"q_in", "q_out", "val_accuracy", "val_no_detect_rate"} <= set(rows[0])
+    assert any(c.startswith("acc_") for c in rows[0])
+    for r in rows:
+        assert 0.0 <= float(r["val_accuracy"]) <= 1.0
+
+
 def test_07_normalize_cli(tree, monkeypatch, capsys):
     from anuraxla.cli import normalize
 
