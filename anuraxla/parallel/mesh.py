@@ -32,6 +32,10 @@ def make_mesh(
     """
     devs = list(devices) if devices is not None else jax.devices()
     if n_devices is not None:
+        if len(devs) < n_devices:
+            raise ValueError(
+                f"requested {n_devices} devices but only {len(devs)} available"
+            )
         devs = devs[:n_devices]
     n = len(devs)
     if n % model_axis != 0:
