@@ -36,9 +36,7 @@ def detect_species_map(
     """-> (detected, species|None, best_score)."""
     cfg = load_config(Path(config_path))
     species, means, precs, lds, priors, tau, chunk_seconds = read_map(cfg)
-    if abs(chunk_seconds - session.mel.duration) > 1e-9:
-        session.mel = session.mel.replace(duration=chunk_seconds)
-        session.load()
+    session.reconfigure(duration=chunk_seconds)
     batch = load_wav_batch([Path(wav_path)], sr=session.mel.sr, num_samples=session.mel.num_samples)
     if not batch.ok[0]:
         raise FileNotFoundError(f"cannot read WAV: {wav_path} ({batch.errors[0]})")

@@ -70,11 +70,7 @@ def run_folder_benchmark(
     else:
         raise ValueError(f"unknown detector: {detector}")
 
-    if abs(chunk_seconds - session.mel.duration) > 1e-9:
-        session.mel = session.mel.replace(duration=chunk_seconds)
-        session._fwd = None  # invalidate any frontend compiled for the old duration
-    if session._fwd is None:
-        session.load()
+    session.reconfigure(duration=chunk_seconds)
 
     tree = scan_species_tree(root)  # folder name == ground truth
     if not any(tree.values()):

@@ -75,6 +75,32 @@ class EncoderSession:
             self._fwd = jax.jit(compute)
         return self
 
+    def reconfigure(
+        self,
+        *,
+        duration: Optional[float] = None,
+        parity: Optional[bool] = None,
+        backend: Optional[str] = None,
+    ) -> "EncoderSession":
+        """Change frontend parameters, recompiling (and re-fingerprinting)
+        only when something actually changed. The supported way to retarget a
+        live session — callers must not mutate ``.mel``/``._fwd`` directly."""
+        changed = False
+        if duration is not None and abs(duration - self.mel.duration) > 1e-9:
+            self.mel = self.mel.replace(duration=duration)
+            changed = True
+        if parity is not None and parity != self.parity:
+            self.parity = parity
+            changed = True
+        if backend is not None and backend != self.backend:
+            self.backend = backend
+            changed = True
+        if changed:
+            self._fwd = None
+        if self._fwd is None:
+            self.load()
+        return self
+
     def encode_array(self, audio: np.ndarray) -> np.ndarray:
         """[B, num_samples] waveforms -> [B, D] latents (device roundtrip).
 

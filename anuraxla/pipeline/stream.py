@@ -89,11 +89,7 @@ def scan_soundscape(
     else:
         raise ValueError(f"unknown detector: {detector}")
 
-    if abs(chunk_seconds - session.mel.duration) > 1e-9:
-        session.mel = session.mel.replace(duration=chunk_seconds)
-        session._fwd = None
-    if session._fwd is None:
-        session.load()
+    session.reconfigure(duration=chunk_seconds)
 
     mel = session.mel
     hop_seconds = hop_seconds if hop_seconds is not None else chunk_seconds

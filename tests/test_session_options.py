@@ -36,6 +36,23 @@ def test_int16_transfer_lossless_for_pcm16_sources(tmp_path, rng):
     np.testing.assert_array_equal(z_f32, z_i16)  # exactly lossless
 
 
+def test_reconfigure_recompiles_only_on_change(tmp_path, rng):
+    s = make_session(tmp_path)
+    fwd0 = s._fwd
+    s.reconfigure(duration=MEL.duration)  # no-op: same duration
+    assert s._fwd is fwd0
+
+    s.reconfigure(duration=1.0)  # changed: frontend recompiles, mel updates
+    assert s.mel.duration == 1.0 and s._fwd is not fwd0
+    batch = (0.1 * rng.standard_normal((1, s.mel.num_samples))).astype(np.float32)
+    z = s.encode_array(batch)
+    assert z.shape == (1, VCFG.latent_dim)
+
+    fwd1 = s._fwd
+    s.reconfigure(parity=False)  # frontend-mode change also recompiles
+    assert s._fwd is not fwd1 and s.parity is False
+
+
 def test_fast_frontend_runs_and_differs_slightly(tmp_path, rng):
     batch = (0.1 * rng.standard_normal((2, MEL.num_samples))).astype(np.float32)
     z_par = make_session(tmp_path).encode_array(batch)
