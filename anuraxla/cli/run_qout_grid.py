@@ -212,12 +212,13 @@ def _device_sweep(args, session, cfg_path, train_dir, val_dir, grid_root, projec
     pipeline re-run per point."""
     import csv
 
+    import jax
     import jax.numpy as jnp
     import numpy as np
 
     from anuraxla.config import priority_ranks, require_species
     from anuraxla.detect.calibrate import radial_qgrid
-    from anuraxla.detect.radial import fit_radial
+    from anuraxla.pipeline.fit import _fit_radial_dispatch
     from anuraxla.pipeline.session import encode_species_tree, pad_species_latents
 
     cfg = load_json(cfg_path)
@@ -228,7 +229,8 @@ def _device_sweep(args, session, cfg_path, train_dir, val_dir, grid_root, projec
         max_per_class=args.max_per_class, seed=args.seed, log=lambda *a: None,
     )
     species, Z, mask = pad_species_latents(Z_by)
-    fit = fit_radial(jnp.asarray(Z), jnp.asarray(mask), args.q_in, args.q_out_grid[0])
+    # sample-sharded fit when the session is data-parallel (parallel.fit)
+    fit = _fit_radial_dispatch(session, Z, mask, args.q_in, args.q_out_grid[0])
 
     Zv_by, _, _ = encode_species_tree(
         session, val_dir, species, cache=False, cache_dir=None,
@@ -239,12 +241,33 @@ def _device_sweep(args, session, cfg_path, train_dir, val_dir, grid_root, projec
         [np.full(len(Zv_by[sp]), i, np.int32) for i, sp in enumerate(species) if sp in Zv_by]
     )
 
+    # data-parallel serving: the sweep's decide stage runs SPMD with the val
+    # latents batch-sharded over the mesh (pad rows masked out of the metrics)
+    valid = None
+    if session.data_parallel and len(jax.devices()) > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from anuraxla.parallel.mesh import make_mesh, pad_to_multiple
+
+        mesh = make_mesh()
+        n_data = mesh.shape["data"]
+        B = Zv.shape[0]
+        Zv, _ = pad_to_multiple(Zv, n_data)
+        true_idx, _ = pad_to_multiple(true_idx, n_data)
+        valid = jax.device_put(
+            np.arange(Zv.shape[0]) < B, NamedSharding(mesh, P("data"))
+        )
+        Zv = jax.device_put(Zv, NamedSharding(mesh, P("data")))
+        true_idx = jax.device_put(true_idx, NamedSharding(mesh, P("data")))
+        print(f"🕸️ device sweep sharded over {n_data} chips (B={B})")
+
     q_in_grid = args.q_in_grid if args.q_in_grid else [args.q_in]
     with stage_timer(f"device sweep {len(q_in_grid)}x{len(args.q_out_grid)} grid"):
         gm = radial_qgrid(
             fit, jnp.asarray(Zv), jnp.asarray(true_idx),
             jnp.asarray(priority_ranks(species)),
             np.asarray(q_in_grid, np.float32), np.asarray(args.q_out_grid, np.float32),
+            valid,
         )
     acc = np.asarray(gm.accuracy)
     nod = np.asarray(gm.no_detect_rate)

@@ -37,13 +37,21 @@ class GridMetrics:
     rk_out: jax.Array  # [Qo, K]
 
 
-def _metrics_from_decisions(detected, winner, true_idx, K):
+def _metrics_from_decisions(detected, winner, true_idx, K, valid=None):
     """Decision tensors [..., B] -> metric dicts; excludes nothing (the
-    benchmark's ERROR rows have no analogue on-device)."""
+    benchmark's ERROR rows have no analogue on-device). ``valid`` [B] masks
+    out padding rows (sharded evaluation pads B to a device-count multiple)."""
     correct = detected & (winner == true_idx)
-    acc = jnp.mean(correct, axis=-1)
-    nodet = jnp.mean(~detected, axis=-1)
-    onehot = jax.nn.one_hot(true_idx, K, dtype=jnp.float32)  # [B, K]
+    if valid is None:
+        acc = jnp.mean(correct, axis=-1)
+        nodet = jnp.mean(~detected, axis=-1)
+        onehot = jax.nn.one_hot(true_idx, K, dtype=jnp.float32)  # [B, K]
+    else:
+        v = valid.astype(jnp.float32)
+        n = jnp.maximum(jnp.sum(v), 1.0)
+        acc = jnp.sum(correct.astype(jnp.float32) * v, axis=-1) / n
+        nodet = jnp.sum((~detected).astype(jnp.float32) * v, axis=-1) / n
+        onehot = jax.nn.one_hot(true_idx, K, dtype=jnp.float32) * v[:, None]
     n_per = jnp.maximum(jnp.sum(onehot, axis=0), 1.0)  # [K]
     accp = jnp.einsum("...b,bk->...k", correct.astype(jnp.float32), onehot) / n_per
     nodp = jnp.einsum("...b,bk->...k", (~detected).astype(jnp.float32), onehot) / n_per
@@ -58,12 +66,18 @@ def radial_qgrid(
     priority_rank: jax.Array,
     q_in_grid: jax.Array,
     q_out_grid: jax.Array,
+    valid: jax.Array | None = None,
 ) -> GridMetrics:
     """Evaluate the radial detector over a full (q_in × q_out) grid.
 
     fit: RadialFit from the train latents (its sorted distance pools make each
     grid point O(K) threshold lookups). Z_eval: [B, D] validation latents with
     integer labels true_idx [B]. Returns GridMetrics over [Qi, Qo].
+
+    Multi-chip serving: put Z_eval/true_idx/valid on a mesh batch-sharded over
+    'data' (pad B to a device multiple, mask the pad rows via ``valid``) and
+    the decide stage runs SPMD — XLA turns the metric reductions into psums
+    over ICI (cli.run_qout_grid._device_sweep does this for --data-parallel).
     """
     K = fit.centroids.shape[0]
     q_in_grid = jnp.asarray(q_in_grid, jnp.float32)
@@ -78,7 +92,7 @@ def radial_qgrid(
         return radial_decide(Z_eval, fit.centroids, t, priority_rank)
 
     detected, winner, _ = jax.vmap(jax.vmap(decide))(thr)  # [Qi, Qo, B]
-    acc, nodet, accp, nodp = _metrics_from_decisions(detected, winner, true_idx, K)
+    acc, nodet, accp, nodp = _metrics_from_decisions(detected, winner, true_idx, K, valid)
     return GridMetrics(
         accuracy=acc,
         no_detect_rate=nodet,

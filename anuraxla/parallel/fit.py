@@ -1,0 +1,255 @@
+"""Distributed detector fitting: latents stay sharded over the mesh 'data'
+axis end to end.
+
+The single-device fits (detect.radial / detect.gaussian_map) take the full
+padded [K, Nmax, D] latent tensor on one chip — plus a [K, K·Nmax]
+out-of-class distance matrix — which caps N at one chip's HBM. Here the
+sample axis is sharded over the mesh and only two kinds of data ever cross
+ICI:
+
+- psum'd moments: per-class counts/sums (means, priors) and per-class Gram
+  matrices (the pooled LDA covariance of ``ref:08b_fit_map_detector.py:
+  276-292``, distributed exactly — same n−1 divisor, same HIGHEST-precision
+  accumulation as ops.linalg.masked_cov);
+- the scalar distance/score pools ([K, N] float32 — D× smaller than the
+  latents), gathered for the sort that gives exact ``np.quantile``
+  linear-interpolation semantics (``ref:08:109-112``). For N where even the
+  pools must stay sharded, ``sharded_quantile_approx`` refines a psum'd
+  histogram (parallel.encode.sharded_distance_histogram) instead.
+
+Both fits return the same RadialFit / MapFit pytrees as the single-device
+versions, so every consumer (config writer, calibration sweep, benchmark)
+works unchanged; an 8-virtual-device test pins equality to tolerance.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from anuraxla.detect.gaussian_map import MapFit
+from anuraxla.detect.radial import RadialFit, _pairwise_dist
+from anuraxla.ops.linalg import gaussian_log_likelihood, inv_and_logdet, regularize_cov
+from anuraxla.ops.quantiles import masked_quantile
+from anuraxla.parallel.mesh import pad_to_multiple
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+def shard_species_latents(
+    Z: np.ndarray, mask: np.ndarray, mesh: Mesh
+) -> tuple[jax.Array, jax.Array]:
+    """Place padded [K, Nmax, D] latents on the mesh with the sample axis
+    sharded over 'data' (pad rows are masked out) — no chip ever holds the
+    full latent matrix."""
+    n_data = mesh.shape["data"]
+    Zp, _ = pad_to_multiple(np.asarray(Z, np.float32), n_data, axis=1)
+    mp, _ = pad_to_multiple(np.asarray(mask, bool), n_data, axis=1)
+    Zd = jax.device_put(Zp, NamedSharding(mesh, P(None, "data", None)))
+    md = jax.device_put(mp, NamedSharding(mesh, P(None, "data")))
+    return Zd, md
+
+
+def fit_radial_sharded(
+    Z,
+    mask,
+    q_in,
+    q_out,
+    *,
+    mesh: Mesh,
+) -> RadialFit:
+    """fit_radial over sample-sharded latents. Z: [K, Nmax, D] (host or
+    device), mask: [K, Nmax]. Returns the same RadialFit as detect.radial
+    (distance-pool shapes padded to a device-count multiple)."""
+    Zd, md = shard_species_latents(Z, mask, mesh)
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(None, "data", None), P(None, "data")),
+        out_specs=(P(), P(), P(None, "data"), P(None, "data"), P(None, "data")),
+    )
+    def _stats(Zs, ms):
+        w = ms.astype(Zs.dtype)
+        n_in = jax.lax.psum(jnp.sum(ms.astype(jnp.int32), axis=1), "data")  # [K]
+        sums = jax.lax.psum(jnp.sum(Zs * w[..., None], axis=1), "data")
+        mus = sums / jnp.maximum(n_in, 1).astype(Zs.dtype)[:, None]
+        diff_in = Zs - mus[:, None, :]
+        rho_in = jnp.sqrt(jnp.maximum(jnp.sum(diff_in * diff_in, axis=-1), 0.0))
+        K, Ns, D = Zs.shape
+        d_all = _pairwise_dist(Zs.reshape(K * Ns, D), mus).T  # [K, K·Ns]
+        owner = jnp.repeat(jnp.arange(K), Ns)
+        out_mask = ms.reshape(K * Ns)[None, :] & (owner[None, :] != jnp.arange(K)[:, None])
+        return mus, n_in, rho_in, d_all, out_mask
+
+    @jax.jit
+    def _finish(Zd, md, q_in, q_out):
+        mus, n_in, rho_in, d_all, out_mask = _stats(Zd, md)
+        # quantiles need a global sort: only these scalar pools cross ICI
+        rk_in = masked_quantile(rho_in, md, q_in)
+        n_out = jnp.sum(out_mask, axis=1)
+        rk_out = jnp.where(n_out > 0, masked_quantile(d_all, out_mask, q_out), jnp.inf)
+        big = jnp.inf
+        return RadialFit(
+            centroids=mus.astype(jnp.float32),
+            rk=jnp.minimum(rk_in, rk_out),
+            rk_in=rk_in,
+            rk_out=rk_out,
+            rho_in_sorted=jnp.sort(jnp.where(md, rho_in, big), axis=1),
+            n_in=n_in,
+            rho_out_sorted=jnp.sort(jnp.where(out_mask, d_all, big), axis=1),
+            n_out=n_out,
+        )
+
+    return _finish(Zd, md, jnp.asarray(q_in, jnp.float32), jnp.asarray(q_out, jnp.float32))
+
+
+def fit_map_sharded(
+    Z,
+    mask,
+    *,
+    mesh: Mesh,
+    cov_type: str = "lda",
+    cov_structure: str = "full",
+    priors_mode: str = "empirical",
+    eps: float = 1e-6,
+    shrink: float = 0.0,
+    tau_q: float | None = None,
+) -> MapFit:
+    """fit_map over sample-sharded latents: psum'd means/priors and pooled
+    (LDA) or per-class (QDA) covariance Grams; τ from exact-quantile over the
+    gathered scalar score pool. Same MapFit pytree as detect.gaussian_map."""
+    Zd, md = shard_species_latents(Z, mask, mesh)
+    K, Npad, D = Zd.shape
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(None, "data", None), P(None, "data")),
+        out_specs=(P(), P(), P()),
+    )
+    def _moments(Zs, ms):
+        w = ms.astype(Zs.dtype)
+        n_k = jax.lax.psum(jnp.sum(w, axis=1), "data")  # [K] float
+        means = jax.lax.psum(jnp.sum(Zs * w[..., None], axis=1), "data") / jnp.maximum(
+            n_k, 1.0
+        )[:, None]
+        Zc = (Zs - means[:, None, :]) * w[..., None]
+        gram_k = jax.lax.psum(
+            jnp.einsum(
+                "kni,knj->kij", Zc, Zc, preferred_element_type=jnp.float32, precision=_HI
+            ),
+            "data",
+        )
+        return means, n_k, gram_k
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(None, "data", None), P(None, "data"), P(), P(), P(), P()),
+        out_specs=(P("data"), P("data")),
+    )
+    def _scores(Zs, ms, means, precs, lds, log_priors):
+        Kl, Ns, Dl = Zs.shape
+        ll = gaussian_log_likelihood(Zs.reshape(Kl * Ns, Dl), means, precs, lds)
+        owner = jnp.repeat(jnp.arange(Kl), Ns)
+        s = ll[jnp.arange(Kl * Ns), owner] + log_priors[owner]
+        return s, ms.reshape(Kl * Ns)
+
+    @jax.jit
+    def _finish(Zd, md):
+        means, n_k, gram_k = _moments(Zd, md)
+        total = jnp.maximum(jnp.sum(n_k), 1.0)
+        priors = (
+            jnp.full((K,), 1.0 / K, Zd.dtype) if priors_mode == "uniform" else n_k / total
+        )
+        diag_only = cov_structure == "diag"
+        eye = jnp.eye(D, dtype=Zd.dtype)
+        if cov_type == "lda":
+            # pooled-centered cov, divisor N_total − 1 (masked_cov semantics)
+            cov = jnp.sum(gram_k, axis=0) / jnp.maximum(total - 1.0, 1.0)
+            cov = jnp.where(total >= 2.0, cov, eye)
+            cov = regularize_cov(cov, eps=eps, shrink=shrink, diag_only=diag_only)
+            prec, ld = inv_and_logdet(cov)
+            covs = jnp.broadcast_to(cov, (K, D, D))
+            precs = jnp.broadcast_to(prec, (K, D, D))
+            logdets = jnp.broadcast_to(ld, (K,))
+        else:
+            covs = gram_k / jnp.maximum(n_k - 1.0, 1.0)[:, None, None]
+            covs = jnp.where((n_k >= 2.0)[:, None, None], covs, eye[None])
+            covs = regularize_cov(covs, eps=eps, shrink=shrink, diag_only=diag_only)
+            precs, logdets = inv_and_logdet(covs)
+
+        log_priors = jnp.log(priors + 1e-12)
+        scores_true, flat_mask = _scores(Zd, md, means, precs, logdets, log_priors)
+        scores_true_sorted = jnp.sort(jnp.where(flat_mask, scores_true, jnp.inf))
+        n_scores = jnp.sum(flat_mask)
+        if tau_q is None:
+            tau = jnp.asarray(jnp.nan, jnp.float32)
+        else:
+            tau = masked_quantile(scores_true, flat_mask, jnp.asarray(tau_q, jnp.float32))
+        return MapFit(
+            means=means.astype(jnp.float32),
+            covs=covs.astype(jnp.float32),
+            precisions=precs.astype(jnp.float32),
+            logdets=logdets.astype(jnp.float32),
+            priors=priors.astype(jnp.float32),
+            tau=tau,
+            scores_true_sorted=scores_true_sorted,
+            n_scores=n_scores,
+        )
+
+    return _finish(Zd, md)
+
+
+def sharded_quantile_approx(
+    d,
+    mask,
+    q: float,
+    *,
+    mesh: Mesh,
+    n_bins: int = 8192,
+    n_refine: int = 2,
+) -> jax.Array:
+    """Approximate global quantile of sharded per-species distances without
+    gathering even the scalar pool: psum'd histogram, refined ``n_refine``
+    times by zooming into the bin containing the nearest-rank order statistic
+    (each pass narrows the bracket n_bins-fold; 2 passes on 8192 bins give a
+    ~1e-8·range bracket around the rank-round(q·(n−1)) sample — nearest-rank
+    semantics, not np.quantile's linear interpolation, which would need the
+    two neighboring order statistics). d, mask: [K, N] sharded on axis 1
+    -> [K].
+
+    Production fits use the exact sort path; this is the escape hatch for
+    N too large to gather even scalars, exercised by tests for correctness.
+    """
+    from anuraxla.parallel.encode import sharded_distance_histogram
+
+    hist = sharded_distance_histogram(mesh, n_bins=n_bins)
+
+    @jax.jit
+    def _one(dk, mk):
+        lo0 = jnp.min(jnp.where(mk, dk, jnp.inf))
+        hi0 = jnp.max(jnp.where(mk, dk, -jnp.inf))
+        n = jnp.sum(mk)
+        # nearest-rank: the order statistic at round(q·(n−1))
+        target = jnp.round(q * (n - 1).astype(jnp.float32))
+
+        def refine(carry, _):
+            lo, hi = carry
+            counts = hist(dk, mk, lo, hi)
+            cum = jnp.cumsum(counts)
+            # first bin where the cumulative count passes the target rank
+            b = jnp.argmax(cum > target)
+            width = jnp.maximum(hi - lo, 1e-12) / n_bins
+            return (lo + b * width, lo + (b + 1) * width), None
+
+        (lo, hi), _ = jax.lax.scan(refine, (lo0, hi0), None, length=n_refine)
+        return 0.5 * (lo + hi)
+
+    # K is small (4 species): loop on the host rather than vmap over shard_map
+    return jnp.stack([_one(d[k], mask[k]) for k in range(d.shape[0])])

@@ -24,6 +24,30 @@ def _f(x) -> float:
     return float(np.asarray(x))
 
 
+def _use_sharded_fit(session: EncoderSession) -> bool:
+    """Data-parallel sessions keep the fit sample-sharded over the mesh too
+    (latents never gather onto one chip — parallel.fit)."""
+    return bool(session.data_parallel) and len(jax.devices()) > 1
+
+
+def _fit_radial_dispatch(session, Z, mask, q_in, q_out):
+    if _use_sharded_fit(session):
+        from anuraxla.parallel.fit import fit_radial_sharded
+        from anuraxla.parallel.mesh import make_mesh
+
+        return fit_radial_sharded(Z, mask, q_in, q_out, mesh=make_mesh())
+    return fit_radial(jnp.asarray(Z), jnp.asarray(mask), q_in, q_out)
+
+
+def _fit_map_dispatch(session, Z, mask, **kw):
+    if _use_sharded_fit(session):
+        from anuraxla.parallel.fit import fit_map_sharded
+        from anuraxla.parallel.mesh import make_mesh
+
+        return fit_map_sharded(Z, mask, mesh=make_mesh(), **kw)
+    return fit_map(jnp.asarray(Z), jnp.asarray(mask), **kw)
+
+
 def fit_radial_tree(
     *,
     cfg_path: Path,
@@ -49,7 +73,7 @@ def fit_radial_tree(
         raise SystemExit("❌ no species could be encoded — check --root and the pipeline.")
 
     species, Z, mask = pad_species_latents(Z_by)
-    fit = fit_radial(jnp.asarray(Z), jnp.asarray(mask), q_in, q_out)
+    fit = _fit_radial_dispatch(session, Z, mask, q_in, q_out)
 
     # per-species meta with rho summaries (reference meta_fit shape,
     # 08:544-553), derived from the fit's sorted distance pools — the
@@ -139,8 +163,8 @@ def fit_map_tree(
     # the reference fits over sorted(species_present) (08b:258)
     Z_by = {sp: Z_by[sp] for sp in sorted(Z_by)}
     species, Z, mask = pad_species_latents(Z_by)
-    fit = fit_map(
-        jnp.asarray(Z), jnp.asarray(mask),
+    fit = _fit_map_dispatch(
+        session, Z, mask,
         cov_type=cov_type, cov_structure=cov_structure, priors_mode=priors_mode,
         eps=eps, shrink=shrink, tau_q=tau_q,
     )

@@ -14,15 +14,16 @@ from __future__ import annotations
 
 import csv
 import dataclasses
+from concurrent.futures import ThreadPoolExecutor
 from pathlib import Path
 from typing import Iterator, List, Optional
 
 import numpy as np
 
 from anuraxla.config import priority_ranks
+from anuraxla.constants import RMS_EPS, RMS_SILENCE_GATE, RMS_TARGET
 from anuraxla.detect.gaussian_map import map_decide
 from anuraxla.detect.radial import radial_decide
-from anuraxla.ops.frontend import rms_normalize_batch
 from anuraxla.pipeline.session import EncoderSession
 from anuraxla.utils.timing import stage_timer
 from anuraxla.utils.wavio import WavStream
@@ -37,6 +38,19 @@ class Detection:
     score: float  # best_distance (radial) or best_score (map)
 
 
+def _rms_normalize_rows(batch: np.ndarray) -> None:
+    """In-place numpy mirror of ops.frontend.rms_normalize_batch (silence
+    gate, clip) — same math, run on the host prefetch thread so the window
+    loader hands the device link fully prepared audio."""
+    rms = np.sqrt(np.mean(batch * batch, axis=-1, keepdims=True))
+    scaled = rms >= RMS_SILENCE_GATE
+    np.copyto(
+        batch,
+        np.clip(batch * (RMS_TARGET / (rms + RMS_EPS)), -1.0, 1.0),
+        where=scaled,
+    )
+
+
 def window_batches(
     stream: WavStream,
     *,
@@ -44,19 +58,23 @@ def window_batches(
     hop_samples: int,
     batch_size: int,
     target_sr: int,
+    normalize: bool = False,
+    prefetch: bool = True,
 ) -> Iterator[tuple[np.ndarray, np.ndarray, int]]:
     """Yield ([B, num_samples] float32, start_frames [B], n_valid). The last
-    batch is zero-padded to the fixed size. Resamples per window when the
-    file rate differs from the pipeline rate."""
+    batch is zero-padded to the fixed size. Resamples (and optionally RMS
+    normalizes) per window when preparing the batch. With ``prefetch`` the
+    next batch is extracted on a background thread while the caller computes
+    on the current one — same overlap structure as dataset.iter_batches."""
     from anuraxla.utils.wavio import resample
 
     scale = stream.sr / target_sr
     src_win = int(round(num_samples * scale))
     src_hop = int(round(hop_samples * scale))
     starts = list(range(0, max(stream.num_frames - 1, 1), src_hop))
+    chunks = [starts[i : i + batch_size] for i in range(0, len(starts), batch_size)]
 
-    for i in range(0, len(starts), batch_size):
-        chunk = starts[i : i + batch_size]
+    def load(chunk: List[int]) -> tuple[np.ndarray, np.ndarray, int]:
         batch = np.zeros((batch_size, num_samples), np.float32)
         for j, s in enumerate(chunk):
             y = stream.read(s, src_win)
@@ -66,7 +84,23 @@ def window_batches(
                 if y.shape[0] < num_samples:
                     y = np.pad(y, (0, num_samples - y.shape[0]))
             batch[j] = y
-        yield batch, np.asarray(chunk), len(chunk)
+        if normalize:
+            _rms_normalize_rows(batch)
+        return batch, np.asarray(chunk), len(chunk)
+
+    if not prefetch or len(chunks) <= 1:
+        for c in chunks:
+            yield load(c)
+        return
+
+    # single worker: all WavStream reads stay on one thread, in order
+    with ThreadPoolExecutor(max_workers=1) as ex:
+        fut = ex.submit(load, chunks[0])
+        for nxt in chunks[1:]:
+            cur = fut.result()
+            fut = ex.submit(load, nxt)
+            yield cur
+        yield fut.result()
 
 
 def scan_soundscape(
@@ -96,9 +130,44 @@ def scan_soundscape(
     hop_samples = max(1, int(mel.sr * hop_seconds))
     ranks = priority_ranks(species)
 
+    # decide on device, chained onto the (async) encode dispatch — the host
+    # never syncs between encode and decide
+    import jax.numpy as jnp
+
+    if detector == "radial":
+        cents_d, thr_d, ranks_d = map(jnp.asarray, (centroids, thresholds, ranks))
+
+        def decide(Z):
+            return radial_decide(Z, cents_d, thr_d, ranks_d)
+    else:
+        tau_arr = jnp.asarray(np.nan if tau is None else tau, jnp.float32)
+        means_d, precs_d, lds_d, priors_d = map(jnp.asarray, (means, precs, lds, priors))
+
+        def decide(Z):
+            return map_decide(Z, means_d, precs_d, lds_d, priors_d, tau_arr)
+
     stream = WavStream(wav_path)
     out: List[Detection] = []
     n_windows = 0
+
+    def emit(res, starts, n_valid):
+        det, win, best = (np.asarray(x) for x in res)
+        for j in range(n_valid):
+            t0 = float(starts[j]) / stream.sr
+            out.append(
+                Detection(
+                    t_start=t0,
+                    t_end=t0 + chunk_seconds,
+                    detected=bool(det[j]),
+                    species=(species[int(win[j])] if det[j] and win[j] >= 0 else None),
+                    score=float(best[j]),
+                )
+            )
+
+    # three-way overlap, same structure as EncoderSession.encode_paths:
+    # prefetch thread extracts+normalizes window batch i+1, the device runs
+    # encode+decide for batch i, the host fetches batch i-1's decisions
+    pending = None
     with stage_timer("scan", log=None) as t:
         for batch, starts, n_valid in window_batches(
             stream,
@@ -106,31 +175,15 @@ def scan_soundscape(
             hop_samples=hop_samples,
             batch_size=session.batch_size,
             target_sr=mel.sr,
+            normalize=normalize,
         ):
-            if normalize:
-                batch, _ = rms_normalize_batch(batch)
-                batch = np.asarray(batch)
-            Z = session.encode_array(batch)
-            if detector == "radial":
-                det, win, best = radial_decide(Z, centroids, thresholds, ranks)
-            else:
-                import jax.numpy as jnp
-
-                tau_arr = jnp.asarray(np.nan if tau is None else tau, jnp.float32)
-                det, win, best = map_decide(Z, means, precs, lds, priors, tau_arr)
-            det, win, best = np.asarray(det), np.asarray(win), np.asarray(best)
-            for j in range(n_valid):
-                t0 = float(starts[j]) / stream.sr
-                out.append(
-                    Detection(
-                        t_start=t0,
-                        t_end=t0 + chunk_seconds,
-                        detected=bool(det[j]),
-                        species=(species[int(win[j])] if det[j] and win[j] >= 0 else None),
-                        score=float(best[j]),
-                    )
-                )
+            res = decide(session._dispatch(batch))
+            if pending is not None:
+                emit(*pending)
+            pending = (res, starts, n_valid)
             n_windows += n_valid
+        if pending is not None:
+            emit(*pending)
     rate = n_windows / t.seconds if t.seconds > 0 else float("nan")
     log(
         f"✅ scanned {stream.duration_seconds / 3600:.2f} h in {t.seconds:.1f}s "

@@ -149,3 +149,173 @@ def test_session_data_parallel_matches_single(tmp_path, rng):
     with pytest.raises(ValueError, match="divide"):
         EncoderSession(mel=mel, batch_size=9, encoder_dir=tmp_path / "enc",
                        project_root=tmp_path, data_parallel=True).load()
+
+
+def _rand_latents(rng, K=4, D=12, ns=(37, 24, 51, 10)):
+    Nmax = max(ns)
+    Z = np.zeros((K, Nmax, D), np.float32)
+    mask = np.zeros((K, Nmax), bool)
+    for k, n in enumerate(ns):
+        Z[k, :n] = rng.standard_normal((n, D)).astype(np.float32) + 3.0 * k
+        mask[k, :n] = True
+    return Z, mask
+
+
+def test_fit_radial_sharded_matches_single_device(rng):
+    from anuraxla.detect.radial import fit_radial
+    from anuraxla.parallel.fit import fit_radial_sharded
+
+    Z, mask = _rand_latents(rng)
+    ref = fit_radial(jnp.asarray(Z), jnp.asarray(mask), 0.95, 0.15)
+    sh = fit_radial_sharded(Z, mask, 0.95, 0.15, mesh=make_mesh())
+
+    np.testing.assert_allclose(np.asarray(sh.centroids), np.asarray(ref.centroids),
+                               rtol=1e-5, atol=1e-6)
+    for name in ("rk", "rk_in", "rk_out"):
+        np.testing.assert_allclose(np.asarray(getattr(sh, name)),
+                                   np.asarray(getattr(ref, name)), rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(sh.n_in), np.asarray(ref.n_in))
+    np.testing.assert_array_equal(np.asarray(sh.n_out), np.asarray(ref.n_out))
+    # sorted pools agree on the valid prefix (shapes differ by device padding)
+    n0 = int(np.asarray(ref.n_in)[0])
+    np.testing.assert_allclose(np.asarray(sh.rho_in_sorted)[0, :n0],
+                               np.asarray(ref.rho_in_sorted)[0, :n0], rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("cov_type,structure,tau_q", [
+    ("lda", "full", 0.05), ("qda", "full", None), ("lda", "diag", 0.5),
+])
+def test_fit_map_sharded_matches_single_device(rng, cov_type, structure, tau_q):
+    from anuraxla.detect.gaussian_map import fit_map
+    from anuraxla.parallel.fit import fit_map_sharded
+
+    Z, mask = _rand_latents(rng)
+    kw = dict(cov_type=cov_type, cov_structure=structure, priors_mode="empirical",
+              eps=1e-5, shrink=0.1, tau_q=tau_q)
+    ref = fit_map(jnp.asarray(Z), jnp.asarray(mask), **kw)
+    sh = fit_map_sharded(Z, mask, mesh=make_mesh(), **kw)
+
+    for name in ("means", "covs", "precisions", "logdets", "priors"):
+        np.testing.assert_allclose(np.asarray(getattr(sh, name)),
+                                   np.asarray(getattr(ref, name)), rtol=2e-4, atol=2e-5)
+    if tau_q is not None:
+        np.testing.assert_allclose(float(sh.tau), float(ref.tau), rtol=1e-4, atol=1e-5)
+    assert int(sh.n_scores) == int(ref.n_scores)
+    n = int(ref.n_scores)
+    np.testing.assert_allclose(np.sort(np.asarray(sh.scores_true_sorted)[:n]),
+                               np.asarray(ref.scores_true_sorted)[:n], rtol=2e-4, atol=2e-4)
+
+
+def test_sharded_quantile_approx_close_to_exact(rng):
+    from anuraxla.ops.quantiles import masked_quantile
+    from anuraxla.parallel.fit import sharded_quantile_approx
+
+    K, N = 3, 256
+    d = rng.uniform(0.0, 7.0, (K, N)).astype(np.float32)
+    mask = np.ones((K, N), bool)
+    mask[1, 200:] = False
+    q = 0.2
+    approx = np.asarray(sharded_quantile_approx(jnp.asarray(d), jnp.asarray(mask), q,
+                                                mesh=make_mesh(), n_bins=512, n_refine=2))
+    # nearest-rank contract: within the refined bracket (7/512^2 ~ 2.7e-5)
+    # of the order statistic at round(q*(n-1))
+    for k in range(K):
+        vals = np.sort(d[k][mask[k]])
+        r = int(round(q * (len(vals) - 1)))
+        assert abs(approx[k] - vals[r]) < 1e-3, (k, approx[k], vals[r])
+    # and still a good approximation of the interpolated quantile
+    exact = np.asarray(masked_quantile(jnp.asarray(d), jnp.asarray(mask), jnp.asarray(q)))
+    np.testing.assert_allclose(approx, exact, atol=0.05)
+
+
+def test_fit_tree_data_parallel_e2e(tmp_path, rng):
+    """fit_radial_tree / fit_map_tree with a data_parallel session write the
+    same config numbers as the single-device path (VERDICT r1 item 2)."""
+    import json
+
+    from anuraxla.constants import MelConfig, SPECIES
+    from anuraxla.cli.make_synth_data import make_tree
+    from anuraxla.models.checkpoint import save_encoder
+    from anuraxla.models.vae import VAEConfig, init_encoder
+    from anuraxla.pipeline.fit import fit_map_tree, fit_radial_tree
+    from anuraxla.pipeline.session import EncoderSession
+
+    mel = MelConfig(sr=16000, duration=0.5, target_frames=48, n_mels=32, fmax=7000)
+    vcfg = VAEConfig(latent_dim=8, widths=(8, 16), dense_width=16, groups=4, input_hw=(48, 32))
+    _, params = init_encoder(vcfg, 0)
+    save_encoder(tmp_path / "enc", vcfg, params)
+    make_tree(tmp_path / "chunks", sr=mel.sr, seconds=mel.duration, per_species=8, seed=3)
+
+    def run(dp: bool, tag: str):
+        cfgp = tmp_path / f"config_{tag}.json"
+        cfgp.write_text(json.dumps({"species": list(SPECIES), "chunk_seconds": mel.duration}))
+        s = EncoderSession(mel=mel, batch_size=8, encoder_dir=tmp_path / "enc",
+                           project_root=tmp_path, data_parallel=dp).load()
+        cfg = json.loads(cfgp.read_text())
+        fit_radial_tree(cfg_path=cfgp, cfg=cfg, chunks_dir=tmp_path / "chunks" / "train_chunks",
+                        session=s, q_in=0.9, q_out=0.2, cache=False, cache_dir=None,
+                        max_per_class=0, seed=1, log=lambda *a: None)
+        cfg = json.loads(cfgp.read_text())
+        fit_map_tree(cfg_path=cfgp, cfg=cfg, chunks_dir=tmp_path / "chunks" / "train_chunks",
+                     session=s, cov_type="lda", cov_structure="full", priors_mode="empirical",
+                     eps=1e-6, shrink=0.0, tau_q=0.05, cache=False, cache_dir=None,
+                     max_per_class=0, seed=1, log=lambda *a: None)
+        # the folder benchmark must run end-to-end on the same (possibly
+        # data-parallel) session
+        from anuraxla.pipeline.benchmark import run_folder_benchmark
+
+        res = run_folder_benchmark(
+            root=tmp_path / "chunks" / "val_chunks", config_path=cfgp,
+            detector="radial", session=s, out_dir=tmp_path / f"bench_{tag}",
+            log=lambda *a: None, write_artifacts=False,
+        )
+        return json.loads(cfgp.read_text()), res
+
+    c1, r1 = run(False, "single")
+    c8, r8 = run(True, "dp")
+    assert r1.total == r8.total and abs(r1.accuracy - r8.accuracy) < 1e-9
+    for sp in SPECIES:
+        assert abs(c1["radial_detector"]["thresholds"][sp]
+                   - c8["radial_detector"]["thresholds"][sp]) < 1e-4
+        np.testing.assert_allclose(c1["map_detector"]["means"][sp],
+                                   c8["map_detector"]["means"][sp], rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(c1["map_detector"]["tau"], c8["map_detector"]["tau"],
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_radial_qgrid_sharded_matches_unsharded(rng):
+    """The calibration sweep's decide stage over a batch-sharded mesh (with
+    pad rows masked) must equal the single-device sweep bit-for-bit on
+    identical latents."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from anuraxla.detect.calibrate import radial_qgrid
+    from anuraxla.detect.radial import fit_radial
+
+    Z, mask = _rand_latents(rng)
+    fit = fit_radial(jnp.asarray(Z), jnp.asarray(mask), 0.9, 0.2)
+    B, D = 42, Z.shape[-1]  # not divisible by 8 -> exercises the pad+mask path
+    Zv = rng.standard_normal((B, D)).astype(np.float32) + 1.0
+    true_idx = rng.integers(0, 4, B).astype(np.int32)
+    ranks = jnp.arange(4, dtype=jnp.int32)
+    qi = np.asarray([0.8, 0.9], np.float32)
+    qo = np.asarray([0.1, 0.2], np.float32)
+
+    ref = radial_qgrid(fit, jnp.asarray(Zv), jnp.asarray(true_idx), ranks, qi, qo)
+
+    mesh = make_mesh()
+    nd = mesh.shape["data"]
+    Zp, _ = pad_to_multiple(Zv, nd)
+    tp, _ = pad_to_multiple(true_idx, nd)
+    valid = np.arange(Zp.shape[0]) < B
+    sh = radial_qgrid(
+        fit,
+        jax.device_put(Zp, NamedSharding(mesh, P("data"))),
+        jax.device_put(tp, NamedSharding(mesh, P("data"))),
+        ranks, qi, qo,
+        jax.device_put(valid, NamedSharding(mesh, P("data"))),
+    )
+    np.testing.assert_allclose(np.asarray(sh.accuracy), np.asarray(ref.accuracy), atol=1e-7)
+    np.testing.assert_allclose(np.asarray(sh.no_detect_rate), np.asarray(ref.no_detect_rate), atol=1e-7)
+    np.testing.assert_allclose(np.asarray(sh.acc_per_class), np.asarray(ref.acc_per_class), atol=1e-7)
+    np.testing.assert_allclose(np.asarray(sh.thresholds), np.asarray(ref.thresholds), atol=1e-7)
