@@ -35,6 +35,7 @@ COMMANDS = {
     "make-synth-data": "anuraxla.cli.make_synth_data",
     "scan-soundscape": "anuraxla.cli.scan_soundscape",
     "calibrate-tau": "anuraxla.cli.calibrate_tau",
+    "ingest-encoder": "anuraxla.cli.ingest_encoder",
 }
 
 # numeric aliases matching the reference filenames

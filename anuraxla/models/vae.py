@@ -41,6 +41,14 @@ class VAEConfig:
     groups: int = 8
     input_hw: tuple[int, int] = (192, 64)  # (T, M)
     dtype: Any = jnp.float32  # compute dtype; params stay f32
+    # torch-checkpoint compatibility knobs (models.hydra_ingest sets these so
+    # an ingested torch encoder reproduces its latents bitwise):
+    # "SAME" = XLA same-padding (asymmetric (0,1) on stride-2 even dims);
+    # "TORCH" = torch Conv2d(padding=1) symmetric (1,1) — same output shapes,
+    # different edge sampling grid.
+    conv_padding: str = "SAME"
+    gn_eps: float = 1e-6  # flax GroupNorm default; torch checkpoints use 1e-5
+    activation: str = "silu"
 
     @property
     def bottleneck_hw(self) -> tuple[int, int]:
@@ -48,20 +56,31 @@ class VAEConfig:
         f = 2 ** len(self.widths)
         return (t // f, m // f)
 
+    @property
+    def act(self):
+        return getattr(nn, self.activation)
+
+    @property
+    def stride2_padding(self):
+        return ((1, 1), (1, 1)) if self.conv_padding == "TORCH" else "SAME"
+
 
 class EncoderBlock(nn.Module):
     width: int
-    groups: int
-    dtype: Any
+    cfg: VAEConfig
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Conv(self.width, (3, 3), strides=(2, 2), padding="SAME", dtype=self.dtype)(x)
-        x = nn.GroupNorm(num_groups=min(self.groups, self.width), dtype=self.dtype)(x)
-        x = nn.silu(x)
-        x = nn.Conv(self.width, (3, 3), strides=(1, 1), padding="SAME", dtype=self.dtype)(x)
-        x = nn.GroupNorm(num_groups=min(self.groups, self.width), dtype=self.dtype)(x)
-        return nn.silu(x)
+        cfg = self.cfg
+        g = min(cfg.groups, self.width)
+        x = nn.Conv(self.width, (3, 3), strides=(2, 2), padding=cfg.stride2_padding,
+                    dtype=cfg.dtype)(x)
+        x = nn.GroupNorm(num_groups=g, epsilon=cfg.gn_eps, dtype=cfg.dtype)(x)
+        x = cfg.act(x)
+        # stride-1 k3: torch padding=1 and XLA SAME are identical
+        x = nn.Conv(self.width, (3, 3), strides=(1, 1), padding="SAME", dtype=cfg.dtype)(x)
+        x = nn.GroupNorm(num_groups=g, epsilon=cfg.gn_eps, dtype=cfg.dtype)(x)
+        return cfg.act(x)
 
 
 class ConvVAEEncoder(nn.Module):
@@ -80,10 +99,10 @@ class ConvVAEEncoder(nn.Module):
         cfg = self.cfg
         x = x.astype(cfg.dtype)
         for w in cfg.widths:
-            x = EncoderBlock(w, cfg.groups, cfg.dtype)(x)
+            x = EncoderBlock(w, cfg)(x)
         x = x.reshape(x.shape[0], -1)
         x = nn.Dense(cfg.dense_width, dtype=cfg.dtype)(x)
-        x = nn.silu(x)
+        x = cfg.act(x)
         mu = nn.Dense(cfg.latent_dim, dtype=jnp.float32, name="head_mu")(x.astype(jnp.float32))
         logvar = nn.Dense(cfg.latent_dim, dtype=jnp.float32, name="head_logvar")(x.astype(jnp.float32))
         if rng is None:
