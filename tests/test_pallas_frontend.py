@@ -16,10 +16,12 @@ CFG = MelConfig(sr=16000, duration=0.5, n_mels=32, fmin=100, fmax=7500,
                 hop_length=128, n_fft=256, target_frames=48)
 
 
-def test_pallas_mel_power_matches_xla(rng):
+@pytest.mark.parametrize("algorithm", ["ct", "dense"])
+def test_pallas_mel_power_matches_xla(rng, algorithm):
     y = (0.1 * rng.standard_normal((2, CFG.num_samples))).astype(np.float32)
     T = CFG.total_frames
-    got = np.asarray(mel_power_pallas(jnp.asarray(y), CFG, num_frames=T, interpret=True))
+    got = np.asarray(mel_power_pallas(jnp.asarray(y), CFG, num_frames=T,
+                                      interpret=True, algorithm=algorithm))
 
     P = stft_power(jnp.asarray(y), n_fft=CFG.n_fft, hop_length=CFG.hop_length,
                    num_frames=T, backend="matmul")
@@ -29,6 +31,21 @@ def test_pallas_mel_power_matches_xla(rng):
     assert got.shape == ref.shape == (2, T, CFG.n_mels)
     scale = ref.max()
     np.testing.assert_allclose(got / scale, ref / scale, atol=2e-5)
+
+
+def test_pallas_ct_radix16_path(rng):
+    """n_fft=2048 exercises the radix-4×4 inner stage (R=16)."""
+    cfg = MelConfig(sr=16000, duration=0.6, n_mels=32, fmin=100, fmax=7500,
+                    hop_length=256, n_fft=2048, target_frames=16)
+    y = (0.1 * rng.standard_normal((2, cfg.num_samples))).astype(np.float32)
+    T = cfg.total_frames
+    got = np.asarray(mel_power_pallas(jnp.asarray(y), cfg, num_frames=T,
+                                      interpret=True, algorithm="ct"))
+    P = stft_power(jnp.asarray(y), n_fft=cfg.n_fft, hop_length=cfg.hop_length,
+                   num_frames=T, backend="matmul")
+    fb = jnp.asarray(mel_filterbank(cfg.sr, cfg.n_fft, cfg.n_mels, cfg.fmin, cfg.fmax))
+    ref = np.asarray(jnp.einsum("btf,fm->btm", P, fb))
+    np.testing.assert_allclose(got / ref.max(), ref / ref.max(), atol=2e-5)
 
 
 def test_pallas_backend_full_frontend(rng):

@@ -1,0 +1,99 @@
+"""TPU-gated kernel tests (VERDICT r1 item 6): run the Pallas mel kernels
+NON-interpreted on the real chip and pin (a) exact-mode agreement with the
+XLA matmul parity path, (b) the bf16 mode's documented ~6e-2 standardized-dB
+error bound, (c) dense-kernel agreement, (d) end-to-end decision equivalence
+of the pallas-exact pipeline vs the matmul pipeline.
+
+The suite's conftest forces the CPU platform process-wide (needed for the
+8-virtual-device mesh), so these tests execute their checks in a clean
+subprocess where the axon TPU plugin is the default. They skip cleanly when
+ANURAXLA_TPU_TESTS != 1 (CI/CPU) and self-skip if the subprocess finds no
+TPU device.
+"""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+pytestmark = pytest.mark.skipif(
+    os.environ.get("ANURAXLA_TPU_TESTS") != "1",
+    reason="TPU kernel tests opt-in via ANURAXLA_TPU_TESTS=1 (real chip, slow compile)",
+)
+
+_SCRIPT = r"""
+import sys
+import numpy as np
+import jax, jax.numpy as jnp
+
+if not any(d.platform == "tpu" for d in jax.devices()):
+    print("NO_TPU")
+    sys.exit(0)
+
+from anuraxla.constants import DEFAULT_MEL
+from anuraxla.detect.radial import radial_decide
+from anuraxla.models.vae import VAEConfig, init_encoder
+from anuraxla.ops.frontend import log_mel_batch, mel_to_encoder_input
+from anuraxla.ops.pallas_frontend import mel_power_pallas
+
+cfg = DEFAULT_MEL
+rng = np.random.default_rng(0)
+B = 16
+y = jnp.asarray((0.1 * rng.standard_normal((B, cfg.num_samples))).astype(np.float32))
+
+# full frontend (dB + standardize + crop), standardized units
+ref = np.asarray(log_mel_batch(y, cfg, parity=True, backend="matmul"))
+
+got_exact = np.asarray(log_mel_batch(y, cfg, parity=True, backend="pallas"))
+err_exact = np.abs(got_exact - ref).max()
+assert err_exact < 1e-3, f"pallas-ct exact vs matmul: {err_exact}"
+
+# bf16 mode: documented ~6e-2 standardized-dB bound
+T = cfg.total_frames
+import anuraxla.ops.pallas_frontend as pf
+from anuraxla.ops.frontend import power_to_db, standardize, crop_or_pad_time
+S = pf.mel_power_pallas(y, cfg, num_frames=T, exact=False)
+got_bf16 = np.asarray(crop_or_pad_time(standardize(power_to_db(S, amin=cfg.amin, top_db=cfg.top_db)), cfg.target_frames))
+err_bf16 = np.abs(got_bf16 - ref).max()
+assert err_bf16 < 6.5e-2, f"pallas-ct bf16 vs matmul: {err_bf16}"
+
+# dense kernel exact
+S = pf.mel_power_pallas(y, cfg, num_frames=T, algorithm="dense")
+got_dense = np.asarray(crop_or_pad_time(standardize(power_to_db(S, amin=cfg.amin, top_db=cfg.top_db)), cfg.target_frames))
+err_dense = np.abs(got_dense - ref).max()
+assert err_dense < 1e-3, f"pallas-dense vs matmul: {err_dense}"
+
+# end-to-end decisions: pallas-exact pipeline == matmul pipeline
+vcfg = VAEConfig()
+enc, params = init_encoder(vcfg, seed=0)
+rk = np.random.default_rng(1)
+cent = jnp.asarray(rk.standard_normal((4, vcfg.latent_dim)), jnp.float32)
+thr = jnp.asarray(np.full(4, 3.0), jnp.float32)
+ranks = jnp.asarray(np.arange(4), jnp.float32)
+
+def decide(backend):
+    mels = log_mel_batch(y, cfg, parity=True, backend=backend)
+    z = enc.apply(params, mel_to_encoder_input(mels))["mu"]
+    return radial_decide(z, cent, thr, ranks)
+
+d1, w1, b1 = (np.asarray(v) for v in decide("matmul"))
+d2, w2, b2 = (np.asarray(v) for v in decide("pallas"))
+assert (d1 == d2).all() and (w1 == w2).all(), "decision mismatch"
+assert np.abs(b1 - b2).max() < 1e-2, f"best-distance drift {np.abs(b1 - b2).max()}"
+
+print(f"OK exact={err_exact:.2e} bf16={err_bf16:.2e} dense={err_dense:.2e}")
+"""
+
+
+def test_pallas_kernels_on_tpu():
+    r = subprocess.run(
+        [sys.executable, "-c", _SCRIPT],
+        capture_output=True, text=True, timeout=560,
+        env={**os.environ, "JAX_PLATFORMS": ""},
+    )
+    out = r.stdout.strip().splitlines()
+    assert r.returncode == 0, f"stdout={r.stdout}\nstderr={r.stderr[-2000:]}"
+    if out and out[-1] == "NO_TPU":
+        pytest.skip("no TPU device in subprocess")
+    assert out and out[-1].startswith("OK"), r.stdout
