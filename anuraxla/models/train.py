@@ -116,4 +116,7 @@ def train_loop(
         if log_every and (i % log_every == 0):
             m = {k: float(v) for k, v in metrics.items()}
             log_fn(f"step {i}: loss={m['loss']:.4f} recon={m['recon']:.4f} kl={m['kl']:.4f}")
+            from anuraxla.utils.metrics import log_metrics
+
+            log_metrics({"kind": "train", **m}, step=i)
     return vae, state, {k: float(v) for k, v in metrics.items()}

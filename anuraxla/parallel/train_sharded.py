@@ -95,4 +95,10 @@ def train_loop_sharded(
                 f"step {i} [{mesh.shape['data']}dp x {mesh.shape['model']}tp]: "
                 f"loss={m['loss']:.4f} recon={m['recon']:.4f} kl={m['kl']:.4f}"
             )
+            from anuraxla.utils.metrics import log_metrics
+
+            log_metrics(
+                {"kind": "train", "dp": mesh.shape["data"], "tp": mesh.shape["model"], **m},
+                step=i,
+            )
     return vae, state, {k: float(v) for k, v in metrics.items()}

@@ -34,6 +34,13 @@ def stage_timer(name: str, n_items: int = 0, log=print):
         if log is not None:
             extra = f" ({t.rate:.1f} items/s)" if n_items else ""
             log(f"⏱️ {name}: {t.seconds:.3f}s{extra}")
+        # structured forwarding (no-op unless a metrics sink is configured)
+        from anuraxla.utils.metrics import log_metrics
+
+        log_metrics(
+            {"kind": "stage", "stage": name, "seconds": t.seconds,
+             **({"n_items": t.n_items, "rate": t.rate} if n_items else {})}
+        )
 
 
 @contextlib.contextmanager
