@@ -55,8 +55,10 @@ def add_batch_args(p: argparse.ArgumentParser) -> None:
     )
     p.add_argument(
         "--frontend-backend", type=str, default="matmul",
-        choices=["matmul", "ct", "fft", "pallas"],
-        help="STFT/mel implementation (pallas = fused TPU kernel)",
+        choices=["matmul", "ct", "fft", "pallas", "pallas-bf16"],
+        help="STFT/mel implementation (pallas = fused in-VMEM Cooley-Tukey "
+        "TPU kernel, exact f32; pallas-bf16 = its bf16 MXU mode, ~6e-2 "
+        "standardized-dB error, decision-equivalent on the test trees)",
     )
     p.add_argument(
         "--data-parallel", action="store_true",

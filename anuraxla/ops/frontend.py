@@ -77,12 +77,14 @@ def log_mel_batch(
         num_frames = min(cfg.target_frames, total)
         first = max(0, (total - cfg.target_frames) // 2)
 
-    if backend == "pallas":
+    if backend in ("pallas", "pallas-bf16"):
         # fused framing+DFT+power+mel kernel (ops.pallas_frontend); computes
         # from frame 0, so the fast path slices afterwards
         from anuraxla.ops.pallas_frontend import mel_power_pallas
 
-        S = mel_power_pallas(y, cfg, num_frames=first + num_frames)
+        S = mel_power_pallas(
+            y, cfg, num_frames=first + num_frames, exact=(backend == "pallas")
+        )
         if first:
             S = jax.lax.slice_in_dim(S, first, first + num_frames, axis=1)
     else:

@@ -64,6 +64,22 @@ def test_pallas_backend_full_frontend(rng):
     np.testing.assert_allclose(got, ref, atol=1e-4)
 
 
+def test_pallas_bf16_mode_close(rng):
+    """exact=False (the pallas-bf16 backend) stays within the documented
+    standardized-dB bound; here in interpret mode the dot precision hint is
+    advisory, so just pin shape + looser agreement."""
+    y = (0.1 * rng.standard_normal((1, CFG.num_samples))).astype(np.float32)
+    T = CFG.total_frames
+    got = np.asarray(mel_power_pallas(jnp.asarray(y), CFG, num_frames=T,
+                                      interpret=True, exact=False))
+    P = stft_power(jnp.asarray(y), n_fft=CFG.n_fft, hop_length=CFG.hop_length,
+                   num_frames=T, backend="matmul")
+    fb = jnp.asarray(mel_filterbank(CFG.sr, CFG.n_fft, CFG.n_mels, CFG.fmin, CFG.fmax))
+    ref = np.asarray(jnp.einsum("btf,fm->btm", P, fb))
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got / ref.max(), ref / ref.max(), atol=1e-2)
+
+
 def test_pallas_rejects_unaligned_hop():
     bad = CFG.replace(hop_length=100)
     with pytest.raises(NotImplementedError):
