@@ -259,6 +259,26 @@ def _inner_dft_generic(blocks, R: int):
     return out
 
 
+def _split_bf16(x):
+    """x (f32) -> (hi, lo) bf16 pair with hi + lo ≈ x (error ~2^-16 of 2^-8)."""
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _dot3(a_split, b_split):
+    """~f32-accurate matmul as THREE native bf16 MXU passes (hi·hi + hi·lo +
+    lo·hi, f32 accumulation; the dropped lo·lo term is ~2^-32 relative).
+    Mosaic lowers only DEFAULT/HIGHEST dot precisions; HIGHEST is a 6-pass
+    f32 emulation, so this manual split halves exact-mode MXU time —
+    measured 6.2e-6 max relative error vs the XLA HIGHEST oracle on the mel
+    power (≈3e-5 dB), and 9.0k → 13.1k chunks/s frontend-only at B=1024."""
+    a_hi, a_lo = a_split
+    b_hi, b_lo = b_split
+    d = lambda x, y: jnp.dot(x, y, preferred_element_type=jnp.float32)  # noqa: E731
+    return d(a_hi, b_hi) + d(a_hi, b_lo) + d(a_lo, b_hi)
+
+
 def _mel_power_ct_kernel(
     y_ref,  # [1, n_tiles, tile_w] VMEM block: one batch row's audio tiles
     win_ref,  # [1, n_fft] VMEM
@@ -297,9 +317,15 @@ def _mel_power_ct_kernel(
     """
     R = n_fft // 128
     n_tiles = y_ref.shape[1]
-    prec = jax.lax.Precision.HIGHEST if exact else jax.lax.Precision.DEFAULT
     c128 = c128_ref[:, :]
     s128 = s128_ref[:, :]
+    if exact:
+        c128_s = _split_bf16(c128)
+        s128_s = _split_bf16(s128)
+        fbr_s = [_split_bf16(fbr_ref[r * 128 : (r + 1) * 128, :]) for r in range(R)]
+    else:
+        c128_b = c128.astype(jnp.bfloat16)
+        s128_b = s128.astype(jnp.bfloat16)
 
     for tt in range(n_tiles):
         for i8 in range(TILE_T // 8):
@@ -331,19 +357,24 @@ def _mel_power_ct_kernel(
                 c_im = zeros if c_im is None else c_im
 
             # outer DFT-128 on the MXU + power + mel accumulate
-            x_re = (
-                jnp.dot(c_re, c128, preferred_element_type=jnp.float32, precision=prec)
-                + jnp.dot(c_im, s128, preferred_element_type=jnp.float32, precision=prec)
-            )
-            x_im = (
-                jnp.dot(c_im, c128, preferred_element_type=jnp.float32, precision=prec)
-                - jnp.dot(c_re, s128, preferred_element_type=jnp.float32, precision=prec)
-            )
-            p = x_re * x_re + x_im * x_im  # [T, 128] power at k = q*R + r
-            contrib = jnp.dot(
-                p, fbr_ref[r * 128 : (r + 1) * 128, :],
-                preferred_element_type=jnp.float32, precision=prec,
-            )
+            if exact:
+                cr_s = _split_bf16(c_re)
+                ci_s = _split_bf16(c_im)
+                x_re = _dot3(cr_s, c128_s) + _dot3(ci_s, s128_s)
+                x_im = _dot3(ci_s, c128_s) - _dot3(cr_s, s128_s)
+                p = x_re * x_re + x_im * x_im  # [T, 128] power at k = q*R + r
+                contrib = _dot3(_split_bf16(p), fbr_s[r])
+            else:
+                d = lambda x, y: jnp.dot(x, y, preferred_element_type=jnp.float32)  # noqa: E731
+                cr_b = c_re.astype(jnp.bfloat16)
+                ci_b = c_im.astype(jnp.bfloat16)
+                x_re = d(cr_b, c128_b) + d(ci_b, s128_b)
+                x_im = d(ci_b, c128_b) - d(cr_b, s128_b)
+                p = x_re * x_re + x_im * x_im
+                contrib = d(
+                    p.astype(jnp.bfloat16),
+                    fbr_ref[r * 128 : (r + 1) * 128, :].astype(jnp.bfloat16),
+                )
             acc = contrib if acc is None else acc + contrib
         out_ref[0, tt * TILE_T : (tt + 1) * TILE_T, :] = acc
 
