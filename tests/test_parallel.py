@@ -319,3 +319,25 @@ def test_radial_qgrid_sharded_matches_unsharded(rng):
     np.testing.assert_allclose(np.asarray(sh.no_detect_rate), np.asarray(ref.no_detect_rate), atol=1e-7)
     np.testing.assert_allclose(np.asarray(sh.acc_per_class), np.asarray(ref.acc_per_class), atol=1e-7)
     np.testing.assert_allclose(np.asarray(sh.thresholds), np.asarray(ref.thresholds), atol=1e-7)
+
+
+def test_multihost_helpers_single_process():
+    """Multi-host scaffolding degrades to local behavior on one process;
+    the path sharding is disjoint/covering/balanced for any host count."""
+    from pathlib import Path
+
+    from anuraxla.parallel.multihost import global_mesh, shard_paths_for_host
+
+    m = global_mesh()
+    assert m.shape["data"] * m.shape["model"] == len(jax.devices())
+
+    paths = [Path(f"f{i:03d}.wav") for i in range(23)]
+    assert shard_paths_for_host(paths) == paths  # single process: everything
+
+    shards = [shard_paths_for_host(paths, process_index=i, process_count=4)
+              for i in range(4)]
+    flat = [p for s in shards for p in s]
+    assert sorted(flat) == sorted(paths)            # covering
+    assert len(set(flat)) == len(paths)             # disjoint
+    sizes = [len(s) for s in shards]
+    assert max(sizes) - min(sizes) <= 1             # balanced
