@@ -77,7 +77,21 @@ def verify_against_torch(pt_path, yaml_path, cfg, params) -> float:
 
     module = build_nn_module(instantiate_target_tree(pick_encoder_cfg(load_yaml_cfg(yaml_path))))
     ckpt = torch.load(str(pt_path), map_location="cpu", weights_only=False)
-    module.load_state_dict(split_model_and_state(ckpt), strict=False)
+    sd = split_model_and_state(ckpt)
+    # the reference loads strict=False (ref:map_detector_core.py:176) — but a
+    # verification oracle left at random init is worse than no oracle, so
+    # require every checkpoint tensor to land somewhere
+    result = module.load_state_dict(sd, strict=False)
+    n_loaded = len(sd) - len(result.unexpected_keys)
+    if n_loaded == 0 or result.missing_keys:
+        raise SystemExit(
+            "❌ --verify could not rebuild the torch oracle: the YAML-built "
+            f"module loaded {n_loaded}/{len(sd)} checkpoint tensors "
+            f"(missing={result.missing_keys[:3]}, "
+            f"unexpected={result.unexpected_keys[:3]}). The shape-based "
+            "ingest itself does not need matching names — drop --verify, or "
+            "provide a YAML whose module names match the checkpoint's."
+        )
     module.eval()
 
     t, m = cfg.input_hw

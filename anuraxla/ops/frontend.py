@@ -31,6 +31,16 @@ from anuraxla.ops.mel import crop_or_pad_time, mel_filterbank, power_to_db, stan
 from anuraxla.ops.stft import stft_power
 
 
+def _rms_normalize_impl(xp, y, target_rms, rms_min, eps):
+    """The one normalization implementation (``00_normalize_dataset_rms.py:
+    29-38``), parameterized over the array namespace so the jit path (jnp)
+    and the host prefetch-thread path (np, pipeline.stream) cannot drift."""
+    rms = xp.sqrt(xp.mean(y * y, axis=-1, keepdims=True))
+    scaled = rms >= rms_min
+    y_norm = xp.clip(y * (target_rms / (rms + eps)), -1.0, 1.0)
+    return xp.where(scaled, y_norm, y), scaled[..., 0]
+
+
 def rms_normalize_batch(
     y: jax.Array,
     *,
@@ -44,11 +54,21 @@ def rms_normalize_batch(
     through unscaled, matching the reference's silence gate; scaled rows are
     clipped to [-1, 1].
     """
-    rms = jnp.sqrt(jnp.mean(y * y, axis=-1, keepdims=True))
-    scaled = rms >= rms_min
-    y_norm = jnp.clip(y * (target_rms / (rms + eps)), -1.0, 1.0)
-    out = jnp.where(scaled, y_norm, y)
-    return out, scaled[..., 0]
+    return _rms_normalize_impl(jnp, y, target_rms, rms_min, eps)
+
+
+def rms_normalize_np(
+    y,
+    *,
+    target_rms: float = RMS_TARGET,
+    rms_min: float = RMS_SILENCE_GATE,
+    eps: float = RMS_EPS,
+):
+    """Numpy twin of rms_normalize_batch (same implementation, host arrays)
+    for prefetch threads that prepare batches off the device."""
+    import numpy as np
+
+    return _rms_normalize_impl(np, y, target_rms, rms_min, eps)
 
 
 @partial(jax.jit, static_argnames=("cfg", "parity", "backend"))

@@ -79,7 +79,11 @@ def sharded_distance_histogram(mesh: Mesh, n_bins: int = 8192):
     def _hist(d, mask, lo, hi):
         scaled = (d - lo) / jnp.maximum(hi - lo, 1e-12) * n_bins
         idx = jnp.clip(scaled.astype(jnp.int32), 0, n_bins - 1)
-        onehot = jax.nn.one_hot(idx, n_bins, dtype=jnp.float32) * mask[:, None]
-        return jax.lax.psum(jnp.sum(onehot, axis=0), "data")
+        # scatter-add: O(N + n_bins) memory — a one-hot matmul would
+        # materialize [N_shard, n_bins] and defeat the huge-N use case
+        counts = jnp.zeros((n_bins,), jnp.float32).at[idx].add(
+            mask.astype(jnp.float32)
+        )
+        return jax.lax.psum(counts, "data")
 
     return _hist

@@ -52,6 +52,7 @@ class EncoderSession:
                 f"({self.mel.target_frames}, {self.mel.n_mels})"
             )
         self._enc, self._params = enc, params
+        self._enc_cfg = cfg
         self.latent_dim = cfg.latent_dim
         self._fingerprint = None  # computed lazily (hashes the params once)
         mel_cfg, parity, backend = self.mel, self.parity, self.backend
@@ -169,21 +170,35 @@ def mel_fingerprint(mel: MelConfig) -> str:
 
 def session_fingerprint(session: EncoderSession) -> str:
     """Cache key covering everything that changes latents: mel parameters,
-    frontend mode (parity/backend), and the encoder WEIGHTS (hash of the
+    frontend mode (parity/backend), the encoder WEIGHTS (hash of the
     serialized params — a retrained encoder must invalidate caches even when
-    its path and the mel config are unchanged)."""
+    its path and the mel config are unchanged), AND the encoder architecture
+    knobs (conv_padding/gn_eps/activation/groups change latents with
+    byte-identical params — e.g. the same torch .pt ingested via the twin
+    path vs hydra_ingest)."""
     if getattr(session, "_fingerprint", None):
         return session._fingerprint
+    import dataclasses
     import hashlib
+    import json
 
     from flax import serialization
 
     digest = hashlib.blake2b(
         serialization.to_bytes(session._params), digest_size=10
     ).hexdigest()
+    cfg = getattr(session, "_enc_cfg", None)
+    arch = ""
+    if cfg is not None:
+        d = dataclasses.asdict(cfg)
+        d["dtype"] = str(jnp.dtype(d.get("dtype", jnp.float32)).name)  # bf16 compute changes latents
+        d = {k: (list(v) if isinstance(v, tuple) else v) for k, v in d.items()}
+        arch = "_a" + hashlib.blake2b(
+            json.dumps(d, sort_keys=True).encode(), digest_size=6
+        ).hexdigest()
     fp = (
         f"{mel_fingerprint(session.mel)}_p{int(session.parity)}"
-        f"_{session.backend}_e{digest}"
+        f"_{session.backend}_e{digest}{arch}"
     )
     session._fingerprint = fp
     return fp

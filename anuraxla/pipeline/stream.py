@@ -21,7 +21,6 @@ from typing import Iterator, List, Optional
 import numpy as np
 
 from anuraxla.config import priority_ranks
-from anuraxla.constants import RMS_EPS, RMS_SILENCE_GATE, RMS_TARGET
 from anuraxla.detect.gaussian_map import map_decide
 from anuraxla.detect.radial import radial_decide
 from anuraxla.pipeline.session import EncoderSession
@@ -39,16 +38,13 @@ class Detection:
 
 
 def _rms_normalize_rows(batch: np.ndarray) -> None:
-    """In-place numpy mirror of ops.frontend.rms_normalize_batch (silence
-    gate, clip) — same math, run on the host prefetch thread so the window
-    loader hands the device link fully prepared audio."""
-    rms = np.sqrt(np.mean(batch * batch, axis=-1, keepdims=True))
-    scaled = rms >= RMS_SILENCE_GATE
-    np.copyto(
-        batch,
-        np.clip(batch * (RMS_TARGET / (rms + RMS_EPS)), -1.0, 1.0),
-        where=scaled,
-    )
+    """In-place host-thread normalization — the SAME implementation as the
+    jit path (ops.frontend._rms_normalize_impl via rms_normalize_np), just
+    on numpy arrays, so the two can never drift."""
+    from anuraxla.ops.frontend import rms_normalize_np
+
+    out, _ = rms_normalize_np(batch)
+    np.copyto(batch, out)
 
 
 def window_batches(

@@ -126,3 +126,22 @@ def test_ct_backend_full_frontend(rng):
     got = np.asarray(log_mel_batch(y, CFG, backend="ct"))
     ref = np.asarray(log_mel_batch(y, CFG, backend="fft"))
     np.testing.assert_allclose(got, ref, atol=1e-4)
+
+
+def test_rms_normalize_np_matches_jax(rng):
+    """The host-thread numpy twin and the jit path share one implementation;
+    pin equality anyway (silent rows, clipping, scaling)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from anuraxla.ops.frontend import rms_normalize_batch, rms_normalize_np
+
+    y = (0.3 * rng.standard_normal((4, 512))).astype(np.float32)
+    y[1] *= 1e-6  # silent row: passes through unscaled
+    y[2] *= 50.0  # hot row: hits the clip
+    out_j, m_j = rms_normalize_batch(jnp.asarray(y))
+    out_n, m_n = rms_normalize_np(y)
+    np.testing.assert_allclose(np.asarray(out_j), out_n, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(m_j), m_n)
+    np.testing.assert_array_equal(out_n[1], y[1])
+    assert np.abs(out_n[2]).max() <= 1.0

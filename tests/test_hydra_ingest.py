@@ -254,3 +254,33 @@ def test_ingest_cli_verify_against_yaml_oracle(tmp_path, monkeypatch, capsys):
     out = capsys.readouterr().out
     assert "verified vs torch module" in out
     assert (out_dir / "encoder.msgpack").exists()
+
+
+def test_verify_refuses_random_init_oracle(tmp_path, monkeypatch):
+    """--verify must fail loudly when the YAML-built module loads zero
+    checkpoint tensors (otherwise the 'oracle' is random init and the
+    parity gate reports a bogus mismatch)."""
+    import sys
+
+    from anuraxla.cli import ingest_encoder
+
+    _, pt, _ = _save_foreign(tmp_path)  # alien names
+    bt, bm = bottleneck_for(T, M, 2)
+    # name-incompatible but shape-compatible YAML (Sequential '0.weight' names)
+    yml = tmp_path / "seq_names.yaml"
+    yml.write_text(
+        "encoder:\n"
+        "  _target_: torch.nn.Sequential\n"
+        "  _args_:\n"
+        "    - _target_: torch.nn.Conv2d\n"
+        "      in_channels: 1\n      out_channels: 8\n      kernel_size: 3\n"
+        "      stride: 2\n      padding: 1\n"
+    )
+    out_dir = tmp_path / "never_written"
+    monkeypatch.setattr(sys, "argv", [
+        "prog", "--pt", str(pt), "--yaml", str(yml), "--out", str(out_dir),
+        "--n-mels", str(M), "--verify",
+    ])
+    with pytest.raises(SystemExit, match="could not rebuild the torch oracle"):
+        ingest_encoder.main()
+    assert not out_dir.exists()
