@@ -119,42 +119,73 @@ def _mel_power_kernel(
         out_ref[0, :, :] = out_ref[0, :, :] + contrib
 
 
-@functools.lru_cache(maxsize=8)
-def _ct_tables_pallas(sr: int, n_fft: int, n_mels: int, fmin: float, fmax: float):
-    """Host tables for the in-kernel Cooley–Tukey factorization
-    n = n1·128 + n2 (n1 ∈ [0, R), R = n_fft/128), k = q·R + r:
+def _split_bf16_np(x: np.ndarray):
+    """Host-side twin of _split_bf16: f32 table -> (hi, lo) bf16 pair."""
+    import ml_dtypes
 
-    - tw_c/tw_s [1, n_fft]: inter-stage twiddles W_nfft^{n2 r} laid out in the
-      kernel's column order r·128 + n2;
-    - c128/s128 [128, 128]: outer DFT-128 bases (n2 × q);
-    - fbr [n_fft, n_mels]: mel filterbank rows permuted to the CT output
-      order (row r·128 + q holds fb[q·R + r]; rows for k ≥ n_freq are zero,
-      which also kills the conjugate-symmetric upper half).
+    x32 = x.astype(np.float32)
+    hi = x32.astype(ml_dtypes.bfloat16)
+    lo = (x32 - hi.astype(np.float32)).astype(ml_dtypes.bfloat16)
+    return hi, lo
+
+
+@functools.lru_cache(maxsize=8)
+def _ct_tables_folded(sr: int, n_fft: int, n_mels: int, fmin: float, fmax: float):
+    """Host tables for the in-kernel Cooley–Tukey factorization
+    n = n1·128 + n2 (n1 ∈ [0, R), R = n_fft/128), k = q·R + r — with the
+    inter-stage twiddles FOLDED into per-r outer bases, and the conjugate
+    symmetry of the power spectrum used to drop blocks r > R/2:
+
+    - C/S [(R//2+1)·128, 128]: rows r·128+n2 hold cos/sin(2π n2 (q·R+r)/n_fft)
+      = twiddle W_nfft^{n2 r} × outer DFT-128 base W_128^{n2 q} — one MXU
+      matmul per r replaces twiddle-multiply + shared-base matmul (no VPU
+      twiddle work, and zero inner-stage components stay elided through the
+      MXU stage);
+    - FBM [(R//2+1)·128, n_mels]: merged mel filterbank. The input is real, so
+      |X[n_fft−k]| = |X[k]|; block R−r at column q equals block r at column
+      127−q, so its filterbank rows fold into block r reversed:
+      FBM[r·128+q] = fb[qR+r] (direct, k < n_freq ⇔ q ≤ 63 for r ≥ 1)
+                   + fb[(127−q)R + (R−r)] (partner, lands on q ≥ 64).
+      Self-paired blocks (r = 0, and r = R/2 for even R) keep direct rows
+      only. Blocks r > R/2 are never computed — ~44% of the outer-stage MXU
+      and VPU work gone for R = 16.
     - win [1, n_fft]: periodic Hann (applied to frames; CT bases can't fold
       a per-sample window the way the dense bases do).
+
+    All tables are returned as host-pre-split (hi, lo) bf16 pairs for the
+    3-pass exact matmuls (hi alone serves the bf16 mode), plus the f32 window.
     """
     from anuraxla.ops.stft import hann_window
 
     R = n_fft // 128
     n_freq = n_fft // 2 + 1
-    n2 = np.arange(128, dtype=np.float64)
-    r = np.arange(R, dtype=np.float64)
-    ang_t = 2.0 * np.pi * np.outer(r, n2) / n_fft  # [R, 128]
-    tw_c = np.cos(ang_t).reshape(1, n_fft).astype(np.float32)
-    tw_s = np.sin(ang_t).reshape(1, n_fft).astype(np.float32)
-    q = np.arange(128, dtype=np.float64)
-    ang2 = 2.0 * np.pi * np.outer(n2, q) / 128.0
-    c128 = np.cos(ang2).astype(np.float32)
-    s128 = np.sin(ang2).astype(np.float32)
+    n_half = R // 2 + 1
+    n2 = np.arange(128, dtype=np.float64)[:, None]
+    q = np.arange(128, dtype=np.float64)[None, :]
     fb = mel_filterbank(sr, n_fft, n_mels, fmin, fmax)  # [n_freq, n_mels]
-    fbr = np.zeros((n_fft, n_mels), np.float32)
-    for rr in range(R):
+    C = np.zeros((n_half * 128, 128), np.float64)
+    S = np.zeros_like(C)
+    FBM = np.zeros((n_half * 128, n_mels), np.float64)
+    for r in range(n_half):
+        ang = 2.0 * np.pi * n2 * (q * R + r) / n_fft
+        C[r * 128 : (r + 1) * 128] = np.cos(ang)
+        S[r * 128 : (r + 1) * 128] = np.sin(ang)
+        self_paired = r == 0 or 2 * r == R
         for qq in range(128):
-            k = qq * R + rr
+            k = qq * R + r
             if k < n_freq:
-                fbr[rr * 128 + qq] = fb[k]
+                FBM[r * 128 + qq] += fb[k]
+            if not self_paired:
+                kp = (127 - qq) * R + (R - r)
+                if kp < n_freq:
+                    FBM[r * 128 + qq] += fb[kp]
     win = hann_window(n_fft).reshape(1, n_fft)
-    return tw_c, tw_s, c128, s128, fbr, win
+    return (
+        _split_bf16_np(C),
+        _split_bf16_np(S),
+        _split_bf16_np(FBM),
+        win,
+    )
 
 
 def _n_add(x, y):
@@ -182,11 +213,6 @@ def _n_scale(x, c: float):
     if c == -1.0:
         return -x
     return x * c
-
-
-def _n_scale_row(x, row):
-    """x * row (broadcast) with None-as-zero."""
-    return None if x is None else x * row
 
 
 def _cmul_w(z, j: int, N: int):
@@ -266,27 +292,15 @@ def _split_bf16(x):
     return hi, lo
 
 
-def _dot3(a_split, b_split):
-    """~f32-accurate matmul as THREE native bf16 MXU passes (hi·hi + hi·lo +
-    lo·hi, f32 accumulation; the dropped lo·lo term is ~2^-32 relative).
-    Mosaic lowers only DEFAULT/HIGHEST dot precisions; HIGHEST is a 6-pass
-    f32 emulation, so this manual split halves exact-mode MXU time —
-    measured 6.2e-6 max relative error vs the XLA HIGHEST oracle on the mel
-    power (≈3e-5 dB), and 9.0k → 13.1k chunks/s frontend-only at B=1024."""
-    a_hi, a_lo = a_split
-    b_hi, b_lo = b_split
-    d = lambda x, y: jnp.dot(x, y, preferred_element_type=jnp.float32)  # noqa: E731
-    return d(a_hi, b_hi) + d(a_hi, b_lo) + d(a_lo, b_hi)
-
-
 def _mel_power_ct_kernel(
     y_ref,  # [1, n_tiles, tile_w] VMEM block: one batch row's audio tiles
-    win_ref,  # [1, n_fft] VMEM
-    twc_ref,  # [1, n_fft]
-    tws_ref,  # [1, n_fft]
-    c128_ref,  # [128, 128]
-    s128_ref,  # [128, 128]
-    fbr_ref,  # [n_fft, n_mels]
+    win_ref,  # [1, n_fft] VMEM f32
+    chi_ref,  # [n_half*128, 128] bf16: folded cos bases, hi part
+    clo_ref,  # [n_half*128, 128] bf16: lo part (exact mode only)
+    shi_ref,  # [n_half*128, 128] bf16: folded sin bases
+    slo_ref,  # [n_half*128, 128] bf16
+    fbhi_ref,  # [n_half*128, n_mels] bf16: merged filterbank
+    fblo_ref,  # [n_half*128, n_mels] bf16
     out_ref,  # [1, n_tiles*TILE_T, n_mels]
     frames,  # scratch VMEM [TILE_T, n_fft]
     *,
@@ -308,24 +322,34 @@ def _mel_power_ct_kernel(
       combined in-register — radix-4×4 Cooley–Tukey for R=16 (pure block
       adds + 9 twiddles), literal-weight unroll otherwise; this sidesteps
       the Mosaic sublane-contraction blocker the XLA 'ct' backend hit;
-    - twiddle: one elementwise complex multiply against [1, n_fft] rows;
-    - outer 128-point stage + mel: per r-block [T,128]×[128,128] MXU matmuls
-      and a [T,128]×[128,n_mels] mel accumulation, all in registers.
+    - outer stage: per-r [T,128]×[128,128] MXU matmuls against bases with
+      the inter-stage twiddle PRE-FOLDED in (see _ct_tables_folded) — no
+      VPU twiddle multiplies, and exact-zero inner components (a_im ≡ 0 at
+      r = 0 and r = R/2) skip their matmuls at trace time;
+    - conjugate symmetry: only blocks r ≤ R/2 are computed; the power rows
+      of block R−r are column-reversed duplicates, folded into block r's
+      merged filterbank — the [T,128]×[128,n_mels] mel accumulation runs
+      once per kept block.
 
-    ~R·(4+1)·128³ MXU MACs per tile vs the dense kernel's 2·T·n_fft·n_freq —
-    ≈7× fewer for n_fft=2048 — with ~1× HBM traffic (audio in, mel out).
+    ~(R/2+1)·(4+1)·128³ MXU MACs per tile vs the dense kernel's
+    2·T·n_fft·n_freq — ≈13× fewer for n_fft=2048 — with ~1× HBM traffic
+    (audio in, mel out).
     """
     R = n_fft // 128
+    n_half = chi_ref.shape[0] // 128
     n_tiles = y_ref.shape[1]
-    c128 = c128_ref[:, :]
-    s128 = s128_ref[:, :]
-    if exact:
-        c128_s = _split_bf16(c128)
-        s128_s = _split_bf16(s128)
-        fbr_s = [_split_bf16(fbr_ref[r * 128 : (r + 1) * 128, :]) for r in range(R)]
-    else:
-        c128_b = c128.astype(jnp.bfloat16)
-        s128_b = s128.astype(jnp.bfloat16)
+    d = lambda x, y: jnp.dot(x, y, preferred_element_type=jnp.float32)  # noqa: E731
+
+    def dot3h(a_split, b_hi, b_lo):
+        """~f32-accurate matmul as THREE native bf16 MXU passes (hi·hi +
+        hi·lo + lo·hi, f32 accumulation; the dropped lo·lo term is ~2^-32
+        relative). Mosaic lowers only DEFAULT/HIGHEST dot precisions;
+        HIGHEST is a 6-pass f32 emulation, so the manual split halves
+        exact-mode MXU time — measured ~6e-6 max relative error vs the XLA
+        HIGHEST oracle on the mel power (≈3e-5 dB). RHS tables arrive
+        pre-split from the host."""
+        a_hi, a_lo = a_split
+        return d(a_hi, b_hi) + d(a_hi, b_lo) + d(a_lo, b_hi)
 
     for tt in range(n_tiles):
         for i8 in range(TILE_T // 8):
@@ -339,42 +363,31 @@ def _mel_power_ct_kernel(
         blocks = [f[:, n1 * 128 : (n1 + 1) * 128] for n1 in range(R)]
         inner = _inner_dft16(blocks) if R == 16 else _inner_dft_generic(blocks, R)
 
-        zeros = jnp.zeros_like(blocks[0])
         acc = None
-        for r in range(R):
-            a_re, a_im = inner[r]
-
-            if r == 0:  # twiddle row is all-ones/zeros
-                c_re = zeros if a_re is None else a_re
-                c_im = zeros if a_im is None else a_im
-            else:
-                # twiddle W_nfft^{n2 r} (complex multiply, row-broadcast)
-                tc = twc_ref[0, r * 128 : (r + 1) * 128][None, :]
-                ts = tws_ref[0, r * 128 : (r + 1) * 128][None, :]
-                c_re = _n_add(_n_scale_row(a_re, tc), _n_scale_row(a_im, ts))
-                c_im = _n_sub(_n_scale_row(a_im, tc), _n_scale_row(a_re, ts))
-                c_re = zeros if c_re is None else c_re
-                c_im = zeros if c_im is None else c_im
-
-            # outer DFT-128 on the MXU + power + mel accumulate
+        for r in range(n_half):
+            a_re, a_im = inner[r]  # a_re is never None for real input
+            sl = slice(r * 128, (r + 1) * 128)
             if exact:
-                cr_s = _split_bf16(c_re)
-                ci_s = _split_bf16(c_im)
-                x_re = _dot3(cr_s, c128_s) + _dot3(ci_s, s128_s)
-                x_im = _dot3(ci_s, c128_s) - _dot3(cr_s, s128_s)
+                ar = _split_bf16(a_re)
+                # x = a @ (C - iS): re = a_re@C + a_im@S, im = a_im@C - a_re@S
+                x_re = dot3h(ar, chi_ref[sl, :], clo_ref[sl, :])
+                x_im = -dot3h(ar, shi_ref[sl, :], slo_ref[sl, :])
+                if a_im is not None:
+                    ai = _split_bf16(a_im)
+                    x_re = x_re + dot3h(ai, shi_ref[sl, :], slo_ref[sl, :])
+                    x_im = x_im + dot3h(ai, chi_ref[sl, :], clo_ref[sl, :])
                 p = x_re * x_re + x_im * x_im  # [T, 128] power at k = q*R + r
-                contrib = _dot3(_split_bf16(p), fbr_s[r])
+                contrib = dot3h(_split_bf16(p), fbhi_ref[sl, :], fblo_ref[sl, :])
             else:
-                d = lambda x, y: jnp.dot(x, y, preferred_element_type=jnp.float32)  # noqa: E731
-                cr_b = c_re.astype(jnp.bfloat16)
-                ci_b = c_im.astype(jnp.bfloat16)
-                x_re = d(cr_b, c128_b) + d(ci_b, s128_b)
-                x_im = d(ci_b, c128_b) - d(cr_b, s128_b)
+                ar = a_re.astype(jnp.bfloat16)
+                x_re = d(ar, chi_ref[sl, :])
+                x_im = -d(ar, shi_ref[sl, :])
+                if a_im is not None:
+                    ai = a_im.astype(jnp.bfloat16)
+                    x_re = x_re + d(ai, shi_ref[sl, :])
+                    x_im = x_im + d(ai, chi_ref[sl, :])
                 p = x_re * x_re + x_im * x_im
-                contrib = d(
-                    p.astype(jnp.bfloat16),
-                    fbr_ref[r * 128 : (r + 1) * 128, :].astype(jnp.bfloat16),
-                )
+                contrib = d(p.astype(jnp.bfloat16), fbhi_ref[sl, :])
             acc = contrib if acc is None else acc + contrib
         out_ref[0, tt * TILE_T : (tt + 1) * TILE_T, :] = acc
 
@@ -435,24 +448,29 @@ def mel_power_pallas(
             axis=1,
         )  # [B, n_t_tiles, tile_w]
 
-        tw_c, tw_s, c128, s128, fbr, win = _ct_tables_pallas(
+        (chi, clo), (shi, slo), (fbhi, fblo), win = _ct_tables_folded(
             cfg.sr, n_fft, cfg.n_mels, cfg.fmin, cfg.fmax
         )
         R = n_fft // 128
+        n_half = R // 2 + 1
         kernel = functools.partial(
             _mel_power_ct_kernel, hop=hop, n_fft=n_fft, exact=exact
+        )
+        base_spec = lambda shape: pl.BlockSpec(  # noqa: E731
+            shape, lambda b: (0,) * len(shape), memory_space=pltpu.VMEM
         )
         out = pl.pallas_call(
             kernel,
             grid=(B,),
             in_specs=[
                 pl.BlockSpec((1, n_t_tiles, tile_w), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, n_fft), lambda b: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, n_fft), lambda b: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, n_fft), lambda b: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((128, 128), lambda b: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((128, 128), lambda b: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((n_fft, cfg.n_mels), lambda b: (0, 0), memory_space=pltpu.VMEM),
+                base_spec((1, n_fft)),
+                base_spec((n_half * 128, 128)),
+                base_spec((n_half * 128, 128)),
+                base_spec((n_half * 128, 128)),
+                base_spec((n_half * 128, 128)),
+                base_spec((n_half * 128, cfg.n_mels)),
+                base_spec((n_half * 128, cfg.n_mels)),
             ],
             out_specs=pl.BlockSpec(
                 (1, t_pad, cfg.n_mels), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
@@ -463,14 +481,14 @@ def mel_power_pallas(
             ],
             interpret=interpret,
             cost_estimate=pl.CostEstimate(
-                flops=2 * B * t_pad * (R * 5 * 128 * 128 + R * 128 * cfg.n_mels)
+                flops=2 * B * t_pad * (n_half * 5 * 128 * 128 + n_half * 128 * cfg.n_mels)
                 + 2 * B * t_pad * n_fft * R,
                 bytes_accessed=B * n_t_tiles * tile_w * 4 + B * t_pad * cfg.n_mels * 4,
                 transcendentals=0,
             ),
         )(
-            tiles, jnp.asarray(win), jnp.asarray(tw_c), jnp.asarray(tw_s),
-            jnp.asarray(c128), jnp.asarray(s128), jnp.asarray(fbr),
+            tiles, jnp.asarray(win), jnp.asarray(chi), jnp.asarray(clo),
+            jnp.asarray(shi), jnp.asarray(slo), jnp.asarray(fbhi), jnp.asarray(fblo),
         )
         return out[:, :num_frames, :]
 

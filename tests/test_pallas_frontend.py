@@ -48,6 +48,23 @@ def test_pallas_ct_radix16_path(rng):
     np.testing.assert_allclose(got / ref.max(), ref / ref.max(), atol=2e-5)
 
 
+@pytest.mark.parametrize("n_fft", [384, 512, 1024])
+def test_pallas_ct_radix_generality(rng, n_fft):
+    """Odd (R=3) and power-of-two (R=4, R=8) block counts through the
+    generic inner stage + conjugate-symmetry filterbank merge."""
+    cfg = MelConfig(sr=16000, duration=0.3, n_mels=32, fmin=100, fmax=7500,
+                    hop_length=128, n_fft=n_fft, target_frames=16)
+    y = (0.1 * rng.standard_normal((2, cfg.num_samples))).astype(np.float32)
+    T = cfg.total_frames
+    got = np.asarray(mel_power_pallas(jnp.asarray(y), cfg, num_frames=T,
+                                      interpret=True, algorithm="ct"))
+    P = stft_power(jnp.asarray(y), n_fft=cfg.n_fft, hop_length=cfg.hop_length,
+                   num_frames=T, backend="matmul")
+    fb = jnp.asarray(mel_filterbank(cfg.sr, cfg.n_fft, cfg.n_mels, cfg.fmin, cfg.fmax))
+    ref = np.asarray(jnp.einsum("btf,fm->btm", P, fb))
+    np.testing.assert_allclose(got / ref.max(), ref / ref.max(), atol=2e-5)
+
+
 def test_pallas_backend_full_frontend(rng):
     y = (0.1 * rng.standard_normal((1, CFG.num_samples))).astype(np.float32)
     import anuraxla.ops.frontend as fe
