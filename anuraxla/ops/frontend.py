@@ -97,6 +97,11 @@ def log_mel_batch(
         num_frames = min(cfg.target_frames, total)
         first = max(0, (total - cfg.target_frames) // 2)
 
+    if backend in ("pallas", "pallas-bf16") and cfg.hop_length % 128 != 0:
+        # the fused kernel's lane-alignment contract doesn't hold — fall back
+        # to the XLA matmul path (same math; "pallas" stays a safe default
+        # for any hop). pallas-bf16 keeps its reduced-precision intent.
+        backend = "matmul"
     if backend in ("pallas", "pallas-bf16"):
         # fused framing+DFT+power+mel kernel (ops.pallas_frontend); computes
         # from frame 0, so the fast path slices afterwards

@@ -101,3 +101,13 @@ def test_pallas_rejects_unaligned_hop():
     bad = CFG.replace(hop_length=100)
     with pytest.raises(NotImplementedError):
         mel_power_pallas(jnp.zeros((1, bad.num_samples)), bad, num_frames=8, interpret=True)
+
+
+def test_log_mel_pallas_backend_falls_back_for_unaligned_hop(rng):
+    """backend='pallas' must be a safe default: hops violating the kernel's
+    lane-alignment contract silently take the XLA matmul path."""
+    bad = CFG.replace(hop_length=96)
+    y = (0.1 * rng.standard_normal((1, bad.num_samples))).astype(np.float32)
+    got = np.asarray(log_mel_batch(jnp.asarray(y), bad, backend="pallas"))
+    ref = np.asarray(log_mel_batch(jnp.asarray(y), bad, backend="matmul"))
+    np.testing.assert_allclose(got, ref, atol=1e-6)
