@@ -70,6 +70,12 @@ def add_batch_args(p: argparse.ArgumentParser) -> None:
         help="ship audio to the device as PCM16 (half the host->device bytes; "
         "lossless for 16-bit source files)",
     )
+    p.add_argument(
+        "--quantize-serving", action="store_true",
+        help="int8 encoder contractions (models.quant; 2x MXU throughput on "
+        "v5e, post-training-quantization latent tolerance — latent caches "
+        "are fingerprinted separately)",
+    )
 
 
 def session_kwargs(args) -> dict:
@@ -80,6 +86,7 @@ def session_kwargs(args) -> dict:
         "backend": getattr(args, "frontend_backend", "matmul"),
         "transfer_int16": getattr(args, "transfer_int16", False),
         "data_parallel": getattr(args, "data_parallel", False),
+        "quantize": getattr(args, "quantize_serving", False),
     }
 
 

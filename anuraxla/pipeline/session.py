@@ -38,6 +38,7 @@ class EncoderSession:
     backend: str = "matmul"  # "matmul" | "fft" | "pallas"
     transfer_int16: bool = False  # ship PCM16 over the host->device link
     data_parallel: bool = False  # shard batches over all local devices
+    quantize: bool = False  # int8 encoder contractions (models.quant)
     num_threads: int = 16
     _enc: object = None
     _params: object = None
@@ -58,12 +59,27 @@ class EncoderSession:
         mel_cfg, parity, backend = self.mel, self.parity, self.backend
         i16 = self.transfer_int16
 
-        def compute(params, audio):
-            if i16:
-                audio = audio.astype(jnp.float32) / 32768.0
-            mels = log_mel_batch(audio, mel_cfg, parity=parity, backend=backend)
-            out = enc.apply(params, mel_to_encoder_input(mels))
-            return out["mu"]  # deterministic latent (reference uses z/mu)
+        if self.quantize:
+            # int8 serving: weights quantized once here; activation scales
+            # dynamic per batch (models.quant docstring)
+            from anuraxla.models.quant import encoder_apply_quantized, quantize_encoder
+
+            self._params = quantize_encoder(params, cfg)
+
+            def compute(params, audio):
+                if i16:
+                    audio = audio.astype(jnp.float32) / 32768.0
+                mels = log_mel_batch(audio, mel_cfg, parity=parity, backend=backend)
+                return encoder_apply_quantized(params, cfg, mel_to_encoder_input(mels))["mu"]
+
+        else:
+
+            def compute(params, audio):
+                if i16:
+                    audio = audio.astype(jnp.float32) / 32768.0
+                mels = log_mel_batch(audio, mel_cfg, parity=parity, backend=backend)
+                out = enc.apply(params, mel_to_encoder_input(mels))
+                return out["mu"]  # deterministic latent (reference uses z/mu)
 
         if self.data_parallel and len(jax.devices()) > 1:
             # batch-sharded SPMD over the 'data' axis: each chip computes its
@@ -199,6 +215,7 @@ def session_fingerprint(session: EncoderSession) -> str:
     fp = (
         f"{mel_fingerprint(session.mel)}_p{int(session.parity)}"
         f"_{session.backend}_e{digest}{arch}"
+        + ("_q8" if getattr(session, "quantize", False) else "")
     )
     session._fingerprint = fp
     return fp

@@ -1,0 +1,83 @@
+"""Int8 post-training quantization of the serving encoder (models.quant)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from anuraxla.models.quant import (
+    encoder_apply_quantized,
+    encoder_forward_f32,
+    quantize_encoder,
+)
+from anuraxla.models.vae import VAEConfig, init_encoder
+
+
+def _mel_batch(rng, cfg, b=4):
+    # standardized log-mel statistics: zero-mean unit-var
+    return jnp.asarray(rng.standard_normal((b, *cfg.input_hw, 1)).astype(np.float32))
+
+
+def test_f32_twin_matches_flax_module(rng):
+    """The hand-rolled calibration forward IS the serving network."""
+    cfg = VAEConfig()
+    enc, params = init_encoder(cfg, seed=0)
+    x = _mel_batch(rng, cfg)
+    ref = np.asarray(enc.apply(params, x)["mu"])
+    got = np.asarray(encoder_forward_f32(params, cfg, x))
+    np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-4)
+
+
+def test_f32_twin_matches_torch_padding_variant(rng):
+    cfg = VAEConfig(conv_padding="TORCH", gn_eps=1e-5)
+    enc, params = init_encoder(cfg, seed=1)
+    x = _mel_batch(rng, cfg, b=2)
+    ref = np.asarray(enc.apply(params, x)["mu"])
+    got = np.asarray(encoder_forward_f32(params, cfg, x))
+    np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-4)
+
+
+def test_quantized_latents_close_and_jittable(rng):
+    cfg = VAEConfig()
+    enc, params = init_encoder(cfg, seed=0)
+    calib = _mel_batch(rng, cfg, b=8)
+    q = quantize_encoder(params, cfg, calib)
+    # weights really are int8
+    assert q["conv"]["Dense_0"]["wq"].dtype == jnp.int8
+
+    x = _mel_batch(rng, cfg, b=4)
+    mu_f32 = np.asarray(enc.apply(params, x)["mu"])
+    apply_q = jax.jit(encoder_apply_quantized, static_argnums=1)
+    mu_q = np.asarray(apply_q(q, cfg, x)["mu"])
+
+    # per-row cosine similarity: quantization noise must not rotate latents
+    num = (mu_f32 * mu_q).sum(-1)
+    den = np.linalg.norm(mu_f32, axis=-1) * np.linalg.norm(mu_q, axis=-1)
+    cos = num / den
+    assert cos.min() > 0.97, f"cosine sim {cos}"
+    # relative L2 error bounded
+    rel = np.linalg.norm(mu_q - mu_f32, axis=-1) / np.linalg.norm(mu_f32, axis=-1)
+    assert rel.max() < 0.25, f"rel err {rel}"
+
+
+def test_quantized_preserves_neighbor_structure(rng):
+    """Detection happens on latent distances: nearest-centroid assignments
+    must survive quantization for well-separated inputs."""
+    cfg = VAEConfig()
+    enc, params = init_encoder(cfg, seed=0)
+    # two visibly different synthetic "species": band at different mel rows
+    b = 6
+    x = np.zeros((b, *cfg.input_hw, 1), np.float32)
+    for i in range(b):
+        x[i, :, (i % 2) * 30 : (i % 2) * 30 + 8, 0] = 2.0
+    x += 0.05 * rng.standard_normal(x.shape).astype(np.float32)
+    x = jnp.asarray(x)
+    q = quantize_encoder(params, cfg, x)
+    mu_f = np.asarray(enc.apply(params, x)["mu"])
+    mu_q = np.asarray(encoder_apply_quantized(q, cfg, x)["mu"])
+    # class centroids from f32; assignments must match under quantization
+    c0, c1 = mu_f[0::2].mean(0), mu_f[1::2].mean(0)
+    for m in (mu_f, mu_q):
+        d0 = np.linalg.norm(m - c0, axis=-1)
+        d1 = np.linalg.norm(m - c1, axis=-1)
+        pred = (d1 < d0).astype(int)
+        assert (pred == np.arange(b) % 2).all()

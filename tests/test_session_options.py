@@ -61,3 +61,21 @@ def test_fast_frontend_runs_and_differs_slightly(tmp_path, rng):
     # different op order (crop-first stats) but strongly correlated latents
     c = np.corrcoef(z_par.ravel(), z_fast.ravel())[0, 1]
     assert c > 0.95, c
+
+
+def test_quantized_serving_session(tmp_path, rng):
+    """quantize=True: int8 encoder contractions produce latents close to the
+    f32 session's, and the cache fingerprint distinguishes the two modes."""
+    from anuraxla.pipeline.session import session_fingerprint
+
+    batch = (0.2 * rng.standard_normal((4, MEL.num_samples))).astype(np.float32)
+    s_f32 = make_session(tmp_path)
+    s_q8 = make_session(tmp_path, quantize=True)
+    z_f32 = s_f32.encode_array(batch)
+    z_q8 = s_q8.encode_array(batch)
+    assert z_q8.shape == z_f32.shape
+    num = (z_f32 * z_q8).sum(-1)
+    den = np.linalg.norm(z_f32, axis=-1) * np.linalg.norm(z_q8, axis=-1)
+    assert (num / den).min() > 0.95
+    fp_a, fp_b = session_fingerprint(s_f32), session_fingerprint(s_q8)
+    assert fp_a != fp_b and fp_b.endswith("_q8")
