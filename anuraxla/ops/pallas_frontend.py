@@ -293,31 +293,28 @@ def _split_bf16(x):
 
 
 def _mel_power_ct_kernel(
-    y_ref,  # [1, n_tiles, tile_w] VMEM block: one batch row's audio tiles
-    win_ref,  # [1, n_fft] VMEM f32
-    chi_ref,  # [n_half*128, 128] bf16: folded cos bases, hi part
-    clo_ref,  # [n_half*128, 128] bf16: lo part (exact mode only)
-    shi_ref,  # [n_half*128, 128] bf16: folded sin bases
-    slo_ref,  # [n_half*128, 128] bf16
-    fbhi_ref,  # [n_half*128, n_mels] bf16: merged filterbank
-    fblo_ref,  # [n_half*128, n_mels] bf16
-    out_ref,  # [1, n_tiles*TILE_T, n_mels]
-    frames,  # scratch VMEM [TILE_T, n_fft]
-    *,
+    *refs,  # W row refs [1,1,stride], 7 table refs, out [1,TILE_T,n_mels], frames scratch
     hop: int,
     n_fft: int,
     exact: bool,
+    W: int,
 ):
     """Whole-spectrum mel power for one (batch row, frame tile), DFT done as
     a radix-(R=n_fft/128, 128) Cooley–Tukey factorization entirely in VMEM:
 
-    - input: the tile's audio arrives as a normal VMEM block (host supplies
-      overlapped [B, n_tiles, tile_w] tiles — 3% amplification instead of
-      the dense kernel's 8-row shifted copy, and Pallas's automatic block
-      pipeline prefetches tile (b, tt+1) while (b, tt) computes — measured
-      2.3× over the manual synchronous-DMA design);
-    - frames built with static offsets only: each [8, n_fft] sublane block
-      is a jnp.stack of eight 1-D lane-aligned slices (hop % 128 == 0);
+    - input: the padded signal is reshaped (free, same layout) into
+      [B, n_rows, stride] stride-rows, and passed W times with row index
+      maps shifted by 0..W-1 — step (b, tt) sees the W consecutive rows
+      [tt, tt+W) covering its TILE_T frames as W single-row blocks
+      (BlockSpec indices are in block units, so a single W-row block can't
+      express stride-1 overlapping windows — W shifted 1-row views can). No
+      copied/overlapped host staging at all — Pallas's automatic block
+      pipeline prefetches step (b, tt+1)'s rows while (b, tt) computes, at
+      ~W× read amplification (W = 2 for the default config);
+    - frames built with static offsets only: the W row blocks are flattened
+      and concatenated once (at a 1024-aligned stride boundary), then each
+      [8, n_fft] sublane block is a jnp.stack of eight 1-D lane-aligned
+      slices (hop % 128 == 0);
     - inner R-point stage: contiguous 128-lane blocks of the frame matrix
       combined in-register — radix-4×4 Cooley–Tukey for R=16 (pure block
       adds + 9 twiddles), literal-weight unroll otherwise; this sidesteps
@@ -335,9 +332,15 @@ def _mel_power_ct_kernel(
     2·T·n_fft·n_freq — ≈13× fewer for n_fft=2048 — with ~1× HBM traffic
     (audio in, mel out).
     """
+    y_refs = refs[:W]
+    win_ref, chi_ref, clo_ref, shi_ref, slo_ref, fbhi_ref, fblo_ref = refs[W : W + 7]
+    out_ref, frames = refs[W + 7], refs[W + 8]
     R = n_fft // 128
     n_half = chi_ref.shape[0] // 128
-    n_tiles = y_ref.shape[1]
+    # each row ref is [1, 1, 8, S2] (stride = 8*S2; 4-D so the block's last
+    # two dims are full — a Mosaic block-shape requirement)
+    s2 = y_refs[0].shape[3]
+    stride = 8 * s2
     d = lambda x, y: jnp.dot(x, y, preferred_element_type=jnp.float32)  # noqa: E731
 
     def dot3h(a_split, b_hi, b_lo):
@@ -351,45 +354,55 @@ def _mel_power_ct_kernel(
         a_hi, a_lo = a_split
         return d(a_hi, b_hi) + d(a_hi, b_lo) + d(a_lo, b_hi)
 
-    for tt in range(n_tiles):
-        for i8 in range(TILE_T // 8):
-            rows = [
-                y_ref[0, tt, (i8 * 8 + k) * hop : (i8 * 8 + k) * hop + n_fft]
-                for k in range(8)
-            ]
-            frames[i8 * 8 : (i8 + 1) * 8, :] = jnp.stack(rows, axis=0)
+    # Flatten the W [8, s2] stride-rows into one [W*stride] window per grid
+    # step. The per-ref reshape and the single concatenation (at stride
+    # boundaries — always 1024-aligned since stride = TILE_T*hop with
+    # hop % 128 == 0) are Mosaic-legal; per-frame multi-piece concatenation
+    # across sublane rows is not ("input offsets outside the first tile").
+    # Every frame window is then a pure 1-D lane-aligned slice.
+    y_flat = [jnp.reshape(y_refs[i][0, 0, :, :], (stride,)) for i in range(W)]
+    ext = y_flat[0] if W == 1 else jnp.concatenate(y_flat, axis=0)
 
-        f = frames[:, :] * win_ref[0, :][None, :]  # Hann
-        blocks = [f[:, n1 * 128 : (n1 + 1) * 128] for n1 in range(R)]
-        inner = _inner_dft16(blocks) if R == 16 else _inner_dft_generic(blocks, R)
+    def frame_row(j: int):
+        o = j * hop
+        return jax.lax.slice_in_dim(ext, o, o + n_fft)
 
-        acc = None
-        for r in range(n_half):
-            a_re, a_im = inner[r]  # a_re is never None for real input
-            sl = slice(r * 128, (r + 1) * 128)
-            if exact:
-                ar = _split_bf16(a_re)
-                # x = a @ (C - iS): re = a_re@C + a_im@S, im = a_im@C - a_re@S
-                x_re = dot3h(ar, chi_ref[sl, :], clo_ref[sl, :])
-                x_im = -dot3h(ar, shi_ref[sl, :], slo_ref[sl, :])
-                if a_im is not None:
-                    ai = _split_bf16(a_im)
-                    x_re = x_re + dot3h(ai, shi_ref[sl, :], slo_ref[sl, :])
-                    x_im = x_im + dot3h(ai, chi_ref[sl, :], clo_ref[sl, :])
-                p = x_re * x_re + x_im * x_im  # [T, 128] power at k = q*R + r
-                contrib = dot3h(_split_bf16(p), fbhi_ref[sl, :], fblo_ref[sl, :])
-            else:
-                ar = a_re.astype(jnp.bfloat16)
-                x_re = d(ar, chi_ref[sl, :])
-                x_im = -d(ar, shi_ref[sl, :])
-                if a_im is not None:
-                    ai = a_im.astype(jnp.bfloat16)
-                    x_re = x_re + d(ai, shi_ref[sl, :])
-                    x_im = x_im + d(ai, chi_ref[sl, :])
-                p = x_re * x_re + x_im * x_im
-                contrib = d(p.astype(jnp.bfloat16), fbhi_ref[sl, :])
-            acc = contrib if acc is None else acc + contrib
-        out_ref[0, tt * TILE_T : (tt + 1) * TILE_T, :] = acc
+    for i8 in range(TILE_T // 8):
+        frames[i8 * 8 : (i8 + 1) * 8, :] = jnp.stack(
+            [frame_row(i8 * 8 + k) for k in range(8)], axis=0
+        )
+
+    f = frames[:, :] * win_ref[0, :][None, :]  # Hann
+    blocks = [f[:, n1 * 128 : (n1 + 1) * 128] for n1 in range(R)]
+    inner = _inner_dft16(blocks) if R == 16 else _inner_dft_generic(blocks, R)
+
+    acc = None
+    for r in range(n_half):
+        a_re, a_im = inner[r]  # a_re is never None for real input
+        sl = slice(r * 128, (r + 1) * 128)
+        if exact:
+            ar = _split_bf16(a_re)
+            # x = a @ (C - iS): re = a_re@C + a_im@S, im = a_im@C - a_re@S
+            x_re = dot3h(ar, chi_ref[sl, :], clo_ref[sl, :])
+            x_im = -dot3h(ar, shi_ref[sl, :], slo_ref[sl, :])
+            if a_im is not None:
+                ai = _split_bf16(a_im)
+                x_re = x_re + dot3h(ai, shi_ref[sl, :], slo_ref[sl, :])
+                x_im = x_im + dot3h(ai, chi_ref[sl, :], clo_ref[sl, :])
+            p = x_re * x_re + x_im * x_im  # [T, 128] power at k = q*R + r
+            contrib = dot3h(_split_bf16(p), fbhi_ref[sl, :], fblo_ref[sl, :])
+        else:
+            ar = a_re.astype(jnp.bfloat16)
+            x_re = d(ar, chi_ref[sl, :])
+            x_im = -d(ar, shi_ref[sl, :])
+            if a_im is not None:
+                ai = a_im.astype(jnp.bfloat16)
+                x_re = x_re + d(ai, shi_ref[sl, :])
+                x_im = x_im + d(ai, chi_ref[sl, :])
+            p = x_re * x_re + x_im * x_im
+            contrib = d(p.astype(jnp.bfloat16), fbhi_ref[sl, :])
+        acc = contrib if acc is None else acc + contrib
+    out_ref[0, :, :] = acc
 
 
 def mel_power_pallas(
@@ -430,23 +443,25 @@ def mel_power_pallas(
     win_cols = _round_up((TILE_T - 8) * hop + n_fft, 128)
 
     if algorithm == "ct":
-        # overlapped per-tile audio: tile tt covers frames [tt·TILE_T,
-        # (tt+1)·TILE_T) and needs (TILE_T-1)·hop + n_fft samples — a 3%
-        # overlap copy (vs the dense kernel's 8-row shifted = 8x); Pallas's
-        # block pipeline then streams tiles through VMEM automatically.
+        # No overlapped host staging: the padded signal is reshaped (free,
+        # same layout) into stride-rows of TILE_T·hop samples, and each grid
+        # step's BlockSpec window is the W consecutive rows covering its
+        # frames (tile tt starts exactly at row tt). Pallas streams the
+        # blocks through VMEM automatically; the only staging pass left is
+        # the pad itself.
         pad_l = n_fft // 2
-        tile_stride = TILE_T * hop
-        tile_w = _round_up((TILE_T - 1) * hop + n_fft, 128)
-        need = (n_t_tiles - 1) * tile_stride + tile_w
-        pad_r = max(0, need - (L + pad_l))
-        y_pad = jnp.pad(y, ((0, 0), (pad_l, pad_r)))
-        tiles = jnp.stack(
-            [
-                jax.lax.slice_in_dim(y_pad, tt * tile_stride, tt * tile_stride + tile_w, axis=1)
-                for tt in range(n_t_tiles)
-            ],
-            axis=1,
-        )  # [B, n_t_tiles, tile_w]
+        stride = TILE_T * hop  # multiple of 128 since hop is
+        tile_w = (TILE_T - 1) * hop + n_fft
+        W = -(-tile_w // stride)  # rows per block window (2 for defaults)
+        n_rows = n_t_tiles - 1 + W
+        pad_r = n_rows * stride - (L + pad_l)
+        if pad_r < 0:  # extremely long rows can't happen (n_t_tiles covers L)
+            raise AssertionError("ct tiling underflow")
+        # 4-D row layout [B, n_rows, 8, stride//8]: Mosaic requires a block's
+        # last two dims divisible by (8, 128) or full — the rows axis can
+        # then be windowed one row at a time
+        s2 = stride // 8  # multiple of 128 since hop is
+        y_rows = jnp.pad(y, ((0, 0), (pad_l, pad_r))).reshape(B, n_rows, 8, s2)
 
         (chi, clo), (shi, slo), (fbhi, fblo), win = _ct_tables_folded(
             cfg.sr, n_fft, cfg.n_mels, cfg.fmin, cfg.fmax
@@ -454,16 +469,19 @@ def mel_power_pallas(
         R = n_fft // 128
         n_half = R // 2 + 1
         kernel = functools.partial(
-            _mel_power_ct_kernel, hop=hop, n_fft=n_fft, exact=exact
+            _mel_power_ct_kernel, hop=hop, n_fft=n_fft, exact=exact, W=W
         )
         base_spec = lambda shape: pl.BlockSpec(  # noqa: E731
-            shape, lambda b: (0,) * len(shape), memory_space=pltpu.VMEM
+            shape, lambda b, tt: (0,) * len(shape), memory_space=pltpu.VMEM
+        )
+        row_spec = lambda i: pl.BlockSpec(  # noqa: E731
+            (1, 1, 8, s2), lambda b, tt, i=i: (b, tt + i, 0, 0), memory_space=pltpu.VMEM
         )
         out = pl.pallas_call(
             kernel,
-            grid=(B,),
-            in_specs=[
-                pl.BlockSpec((1, n_t_tiles, tile_w), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            grid=(B, n_t_tiles),
+            in_specs=[row_spec(i) for i in range(W)]
+            + [
                 base_spec((1, n_fft)),
                 base_spec((n_half * 128, 128)),
                 base_spec((n_half * 128, 128)),
@@ -473,7 +491,7 @@ def mel_power_pallas(
                 base_spec((n_half * 128, cfg.n_mels)),
             ],
             out_specs=pl.BlockSpec(
-                (1, t_pad, cfg.n_mels), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
+                (1, TILE_T, cfg.n_mels), lambda b, tt: (b, tt, 0), memory_space=pltpu.VMEM
             ),
             out_shape=jax.ShapeDtypeStruct((B, t_pad, cfg.n_mels), jnp.float32),
             scratch_shapes=[
@@ -483,11 +501,11 @@ def mel_power_pallas(
             cost_estimate=pl.CostEstimate(
                 flops=2 * B * t_pad * (n_half * 5 * 128 * 128 + n_half * 128 * cfg.n_mels)
                 + 2 * B * t_pad * n_fft * R,
-                bytes_accessed=B * n_t_tiles * tile_w * 4 + B * t_pad * cfg.n_mels * 4,
+                bytes_accessed=B * n_t_tiles * W * stride * 4 + B * t_pad * cfg.n_mels * 4,
                 transcendentals=0,
             ),
         )(
-            tiles, jnp.asarray(win), jnp.asarray(chi), jnp.asarray(clo),
+            *([y_rows] * W), jnp.asarray(win), jnp.asarray(chi), jnp.asarray(clo),
             jnp.asarray(shi), jnp.asarray(slo), jnp.asarray(fbhi), jnp.asarray(fblo),
         )
         return out[:, :num_frames, :]

@@ -65,6 +65,25 @@ def test_pallas_ct_radix_generality(rng, n_fft):
     np.testing.assert_allclose(got / ref.max(), ref / ref.max(), atol=2e-5)
 
 
+def test_pallas_ct_multi_tile(rng):
+    """More frames than one TILE_T tile: exercises the overlapping
+    stride-row block windows (the shifted row index maps) and frames that
+    cross a stride-row boundary. Regression for a block-unit-vs-element-unit
+    index-map bug that only multi-tile shapes can catch."""
+    cfg = MelConfig(sr=48000, duration=2.0, n_mels=64, fmin=150, fmax=15000,
+                    hop_length=384, n_fft=2048, target_frames=192)
+    y = (0.1 * rng.standard_normal((2, cfg.num_samples))).astype(np.float32)
+    T = cfg.total_frames
+    assert T > 128  # must span >1 frame tile for this test to mean anything
+    got = np.asarray(mel_power_pallas(jnp.asarray(y), cfg, num_frames=T,
+                                      interpret=True, algorithm="ct"))
+    P = stft_power(jnp.asarray(y), n_fft=cfg.n_fft, hop_length=cfg.hop_length,
+                   num_frames=T, backend="matmul")
+    fb = jnp.asarray(mel_filterbank(cfg.sr, cfg.n_fft, cfg.n_mels, cfg.fmin, cfg.fmax))
+    ref = np.asarray(jnp.einsum("btf,fm->btm", P, fb))
+    np.testing.assert_allclose(got / ref.max(), ref / ref.max(), atol=2e-5)
+
+
 def test_pallas_backend_full_frontend(rng):
     y = (0.1 * rng.standard_normal((1, CFG.num_samples))).astype(np.float32)
     import anuraxla.ops.frontend as fe
