@@ -9,10 +9,12 @@ MXU matmuls (`preferred_element_type=int32`) — v5e int8 MXU throughput is
 fraction of the FLOPs and the renormalization between blocks is what keeps
 the quantization error from compounding.
 
-Convolutions are lowered to patches->matmul explicitly (9 shifted strided
-slices concatenated on the channel axis) rather than `lax.conv` on int8:
-the MXU consumes the [N, 9*Cin] x [9*Cin, Cout] contraction directly, and
-the patch extraction is pure data movement XLA fuses with the quantize step.
+Convolutions run as `lax.conv_general_dilated` directly on int8 operands
+(`preferred_element_type=int32`) — XLA lowers these natively to the MXU.
+(Measured alternative, rejected: explicit im2col patches->matmul was 4-13x
+SLOWER on v5e — the 9-slice strided gather forces int8 relayouts that
+swamp any contraction win; lax.conv int8 times at the measurement floor,
+indistinguishable from the f32 path on this encoder.)
 
 Flow:
     enc, params = init_encoder(cfg)
@@ -169,6 +171,17 @@ def _int8_dot(pq, wq):
     )
 
 
+def _int8_conv(xq, wq, stride: int, pads):
+    """3x3 int8 NHWC conv with int32 accumulation on the MXU."""
+    return jax.lax.conv_general_dilated(
+        xq, wq, (stride, stride), list(pads),
+        dimension_numbers=jax.lax.conv_dimension_numbers(
+            xq.shape, wq.shape, ("NHWC", "HWIO", "NHWC")
+        ),
+        preferred_element_type=jnp.int32,
+    )
+
+
 def encoder_apply_quantized(q: dict, cfg: VAEConfig, x: jax.Array) -> dict:
     """[B, T, M, 1] log-mel -> {"z", "mu"} with int8 conv/dense contractions.
 
@@ -189,10 +202,8 @@ def encoder_apply_quantized(q: dict, cfg: VAEConfig, x: jax.Array) -> dict:
             c = q["conv"][name]
             sx = act_scale(name, x)
             pads = _conv_pads(cfg, x.shape[1], x.shape[2], stride)
-            pq = _patches(_quant_x(x, sx), stride, pads)
-            y = _int8_dot(pq.reshape(-1, pq.shape[-1]), c["wq"].reshape(-1, c["wq"].shape[-1]))
-            y = y.astype(jnp.float32) * (sx * c["sw"]) + c["bias"]
-            x = y.reshape(*pq.shape[:3], -1)
+            y = _int8_conv(_quant_x(x, sx), c["wq"], stride, pads)
+            x = y.astype(jnp.float32) * (sx * c["sw"]) + c["bias"]
             gn = q["gn"][f"EncoderBlock_{i}/GroupNorm_{j}"]
             x = act(_group_norm(x, gn["scale"], gn["bias"], cfg.groups, cfg.gn_eps))
     x = x.reshape(x.shape[0], -1)
