@@ -97,3 +97,50 @@ def test_pallas_kernels_on_tpu():
     if out and out[-1] == "NO_TPU":
         pytest.skip("no TPU device in subprocess")
     assert out and out[-1].startswith("OK"), r.stdout
+
+
+_QUANT_SCRIPT = r"""
+import sys
+import numpy as np
+import jax, jax.numpy as jnp
+
+if not any(d.platform == "tpu" for d in jax.devices()):
+    print("NO_TPU")
+    sys.exit(0)
+
+from anuraxla.constants import DEFAULT_MEL
+from anuraxla.models.vae import VAEConfig, init_encoder
+from anuraxla.models.quant import encoder_apply_quantized, quantize_encoder
+from anuraxla.ops.frontend import log_mel_batch, mel_to_encoder_input
+
+# int8 serving must COMPILE and run natively on the chip (lax.conv on int8
+# operands — the thing the CPU suite can't pin) and track the f32 encoder.
+cfg = DEFAULT_MEL
+rng = np.random.default_rng(0)
+y = jnp.asarray((0.1 * rng.standard_normal((16, cfg.num_samples))).astype(np.float32))
+x = mel_to_encoder_input(log_mel_batch(y, cfg, parity=True, backend="matmul"))
+
+vcfg = VAEConfig()
+enc, params = init_encoder(vcfg, seed=0)
+qp = quantize_encoder(params, vcfg, x[:8])
+mu_f = np.asarray(jax.jit(lambda v: enc.apply(params, v)["mu"])(x))
+mu_q = np.asarray(jax.jit(lambda v: encoder_apply_quantized(qp, vcfg, v)["mu"])(x))
+scale = np.abs(mu_f).max() + 1e-12
+rel = np.abs(mu_q - mu_f).max() / scale
+# PTQ on an untrained net with real mel stats: loose but meaningful bound
+assert rel < 0.25, f"int8 latent drift {rel}"
+print(f"OK int8 rel={rel:.3f}")
+"""
+
+
+def test_quantized_serving_on_tpu():
+    r = subprocess.run(
+        [sys.executable, "-c", _QUANT_SCRIPT],
+        capture_output=True, text=True, timeout=560,
+        env={**os.environ, "JAX_PLATFORMS": ""},
+    )
+    out = r.stdout.strip().splitlines()
+    assert r.returncode == 0, f"stdout={r.stdout}\nstderr={r.stderr[-2000:]}"
+    if out and out[-1] == "NO_TPU":
+        pytest.skip("no TPU device in subprocess")
+    assert out and out[-1].startswith("OK"), r.stdout
