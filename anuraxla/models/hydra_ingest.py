@@ -46,7 +46,7 @@ from anuraxla.models.ingest import (
     convert_linear,
     split_model_and_state,
 )
-from anuraxla.models.vae import VAEConfig
+from anuraxla.models.vae import VAEConfig, bottleneck_for as _vae_bottleneck_for
 
 
 # ---------------------------------------------------------------------------
@@ -106,7 +106,9 @@ def instantiate_target_tree(node: Any) -> Any:
             kwargs = {
                 k: instantiate_target_tree(v)
                 for k, v in node.items()
-                if k not in ("_target_", "_args_", "_partial_")
+                # drop ALL Hydra meta-keys (real config dumps carry
+                # _recursive_/_convert_ inside _target_ nodes)
+                if k not in ("_target_", "_args_", "_partial_", "_recursive_", "_convert_")
             }
             if node.get("_partial_"):
                 import functools
@@ -222,13 +224,8 @@ def _find_int_key(node: Any, names: Sequence[str]) -> Optional[int]:
     return None
 
 
-def bottleneck_for(t: int, m: int, n_blocks: int) -> Tuple[int, int]:
-    """Output (T, M) after n_blocks stride-2 k3 convs — ceil halving per block
-    (identical for XLA SAME and torch padding=1)."""
-    for _ in range(n_blocks):
-        t = math.ceil(t / 2)
-        m = math.ceil(m / 2)
-    return t, m
+# canonical ceil-halving bottleneck formula lives next to the architecture
+bottleneck_for = _vae_bottleneck_for
 
 
 def auto_find_frames(

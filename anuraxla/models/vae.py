@@ -30,6 +30,15 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 
+def bottleneck_for(t: int, m: int, n_blocks: int) -> tuple[int, int]:
+    """Output (T, M) after n_blocks stride-2 k3 convs — ceil halving per
+    block, identical for XLA SAME and torch padding=1. The ONE bottleneck
+    formula (config property and ingest shape search both use it)."""
+    for _ in range(n_blocks):
+        t, m = -(-t // 2), -(-m // 2)
+    return t, m
+
+
 @dataclasses.dataclass(frozen=True)
 class VAEConfig:
     """Architecture hyperparameters. Defaults give a ~2.1 M-param encoder that
@@ -52,9 +61,7 @@ class VAEConfig:
 
     @property
     def bottleneck_hw(self) -> tuple[int, int]:
-        t, m = self.input_hw
-        f = 2 ** len(self.widths)
-        return (t // f, m // f)
+        return bottleneck_for(*self.input_hw, len(self.widths))
 
     @property
     def act(self):

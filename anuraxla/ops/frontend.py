@@ -97,10 +97,14 @@ def log_mel_batch(
         num_frames = min(cfg.target_frames, total)
         first = max(0, (total - cfg.target_frames) // 2)
 
+    prec = jax.lax.Precision.HIGHEST
     if backend in ("pallas", "pallas-bf16") and cfg.hop_length % 128 != 0:
         # the fused kernel's lane-alignment contract doesn't hold — fall back
         # to the XLA matmul path (same math; "pallas" stays a safe default
-        # for any hop). pallas-bf16 keeps its reduced-precision intent.
+        # for any hop). pallas-bf16 keeps its reduced-precision/speed intent
+        # by running the fallback matmuls at the MXU's native bf16 precision.
+        if backend == "pallas-bf16":
+            prec = jax.lax.Precision.DEFAULT
         backend = "matmul"
     if backend in ("pallas", "pallas-bf16"):
         # fused framing+DFT+power+mel kernel (ops.pallas_frontend); computes
@@ -120,10 +124,11 @@ def log_mel_batch(
             num_frames=num_frames,
             first_frame=first,
             backend=backend,  # type: ignore[arg-type]
+            precision=prec,
         )  # [B, T, F]
         S = jnp.einsum(
             "btf,fm->btm", P, fb,
-            preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32, precision=prec,
         )
     S_db = power_to_db(S, amin=cfg.amin, top_db=cfg.top_db)
     S_db = standardize(S_db)

@@ -455,8 +455,12 @@ def mel_power_pallas(
         W = -(-tile_w // stride)  # rows per block window (2 for defaults)
         n_rows = n_t_tiles - 1 + W
         pad_r = n_rows * stride - (L + pad_l)
-        if pad_r < 0:  # extremely long rows can't happen (n_t_tiles covers L)
-            raise AssertionError("ct tiling underflow")
+        if pad_r < 0:
+            # num_frames covers fewer samples than the signal holds (the
+            # fast-frontend path crops the frame range): drop the tail the
+            # kernel will never read instead of under-padding
+            y = y[:, : n_rows * stride - pad_l]
+            pad_r = 0
         # 4-D row layout [B, n_rows, 8, stride//8]: Mosaic requires a block's
         # last two dims divisible by (8, 128) or full — the rows axis can
         # then be windowed one row at a time

@@ -173,6 +173,7 @@ def stft_power(
     first_frame: int = 0,
     backend: Literal["matmul", "fft", "ct"] = "matmul",
     center: bool = True,
+    precision: jax.lax.Precision = jax.lax.Precision.HIGHEST,
 ) -> jax.Array:
     """Power spectrogram |STFT|² of a batch of signals.
 
@@ -202,14 +203,15 @@ def stft_power(
     cos_b, sin_b = _dft_bases(n_fft)
     cos_b = jnp.asarray(cos_b)
     sin_b = jnp.asarray(sin_b)
-    # HIGHEST keeps true-f32 MXU passes; the TPU default would use bf16 inputs
-    # and break librosa parity in low-energy bins.
+    # Default HIGHEST keeps true-f32 MXU passes; the TPU bf16 default would
+    # break librosa parity in low-energy bins. Callers that explicitly opted
+    # out of parity (pallas-bf16 fallback) pass DEFAULT.
     re = jnp.einsum(
         "btn,nk->btk", frames, cos_b,
-        preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32, precision=precision,
     )
     im = jnp.einsum(
         "btn,nk->btk", frames, sin_b,
-        preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32, precision=precision,
     )
     return re * re + im * im

@@ -249,7 +249,9 @@ def sharded_quantile_approx(
             return (lo + b * width, lo + (b + 1) * width), None
 
         (lo, hi), _ = jax.lax.scan(refine, (lo0, hi0), None, length=n_refine)
-        return 0.5 * (lo + hi)
+        # empty pool -> inf, matching the exact fits' no-detect semantics
+        # (otherwise the inf/-inf initial bracket leaks garbage through)
+        return jnp.where(n > 0, 0.5 * (lo + hi), jnp.inf)
 
     # K is small (4 species): loop on the host rather than vmap over shard_map
     return jnp.stack([_one(d[k], mask[k]) for k in range(d.shape[0])])

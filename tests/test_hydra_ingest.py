@@ -85,6 +85,13 @@ def _save_foreign(tmp_path, two_heads=True, wrap=True):
 def test_auto_find_frames_closed_form():
     bt, bm = bottleneck_for(192, 64, 4)
     assert (bt, bm) == (12, 4)
+    # ceil halving on non-2^n dims (torch floor((t-1)/2)+1 == ceil(t/2)), and
+    # VAEConfig.bottleneck_hw must agree (one formula — regression for the
+    # floor-halving duplicate that diverged on odd dims)
+    assert bottleneck_for(190, 62, 4) == (12, 4)
+    from anuraxla.models.vae import VAEConfig
+    cfg = VAEConfig(input_hw=(190, 62))
+    assert cfg.bottleneck_hw == bottleneck_for(190, 62, len(cfg.widths))
     # reference semantics: FIRST frames value whose bottleneck matches
     t = auto_find_frames(12 * 4 * 256, n_mels=64, widths=(32, 64, 128, 256))
     assert bottleneck_for(t, 64, 4) == (12, 4)
@@ -156,6 +163,14 @@ def test_instantiate_target_tree_vocabulary():
 
     factory = instantiate_target_tree({"_target_": "torch.nn.SiLU", "_partial_": True})
     assert isinstance(build_nn_module(factory), torch_nn.SiLU)
+
+    # real Hydra dumps carry meta-keys inside _target_ nodes; they must not
+    # leak through as constructor kwargs
+    conv = instantiate_target_tree({
+        "_target_": "torch.nn.Conv2d", "_recursive_": False, "_convert_": "all",
+        "in_channels": 1, "out_channels": 4, "kernel_size": 3,
+    })
+    assert isinstance(conv, torch_nn.Conv2d)
 
     with pytest.raises(ImportError, match="cannot resolve"):
         instantiate_target_tree({"_target_": "nowhere.NotALayer"})

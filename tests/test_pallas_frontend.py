@@ -84,6 +84,28 @@ def test_pallas_ct_multi_tile(rng):
     np.testing.assert_allclose(got / ref.max(), ref / ref.max(), atol=2e-5)
 
 
+def test_pallas_ct_fast_frontend_long_clip(rng):
+    """parity=False (fast-frontend) passes a cropped num_frames while the
+    signal keeps full length — the CT tiling must drop the unread tail
+    instead of under-padding (regression: 'ct tiling underflow' for
+    durations ≳5.2 s)."""
+    cfg = MelConfig(sr=48000, duration=6.0, n_mels=64, fmin=150, fmax=15000,
+                    hop_length=384, n_fft=2048, target_frames=192)
+    y = (0.1 * rng.standard_normal((1, cfg.num_samples))).astype(np.float32)
+    total = cfg.total_frames
+    first = max(0, (total - cfg.target_frames) // 2)
+    num = first + min(cfg.target_frames, total)
+    # the regression precondition: cropped coverage shorter than the signal
+    assert num * cfg.hop_length + cfg.n_fft // 2 < cfg.num_samples + cfg.n_fft
+    got = np.asarray(mel_power_pallas(jnp.asarray(y), cfg, num_frames=num,
+                                      interpret=True, algorithm="ct"))
+    P = stft_power(jnp.asarray(y), n_fft=cfg.n_fft, hop_length=cfg.hop_length,
+                   num_frames=num, backend="matmul")
+    fb = jnp.asarray(mel_filterbank(cfg.sr, cfg.n_fft, cfg.n_mels, cfg.fmin, cfg.fmax))
+    ref = np.asarray(jnp.einsum("btf,fm->btm", P, fb))
+    np.testing.assert_allclose(got / ref.max(), ref / ref.max(), atol=2e-5)
+
+
 def test_pallas_backend_full_frontend(rng):
     y = (0.1 * rng.standard_normal((1, CFG.num_samples))).astype(np.float32)
     import anuraxla.ops.frontend as fe
