@@ -17,12 +17,18 @@ LIB = Path(__file__).parent / "libavldwav.so"
 def build(force: bool = False, quiet: bool = True) -> Path:
     if not force and LIB.exists() and LIB.stat().st_mtime >= SRC.stat().st_mtime:
         return LIB
-    cmd = [
+    base = [
         "g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread",
         "-Wall", "-Wextra",
         str(SRC), "-o", str(LIB),
     ]
-    res = subprocess.run(cmd, capture_output=True, text=True)
+    # The .so is always built lazily on the host that runs it, so -march=native
+    # is safe and lets the compiler auto-vectorize the PCM decode/mixdown
+    # loops with whatever SIMD the host has (AVX2/AVX-512). Falls back to the
+    # baseline ISA if the toolchain rejects the flag.
+    res = subprocess.run(base + ["-march=native"], capture_output=True, text=True)
+    if res.returncode != 0:
+        res = subprocess.run(base, capture_output=True, text=True)
     if res.returncode != 0:
         raise RuntimeError(f"native build failed:\n{res.stderr}")
     if not quiet:
