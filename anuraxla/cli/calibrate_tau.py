@@ -34,7 +34,12 @@ from anuraxla.config import get_chunk_seconds, require_species
 from anuraxla.constants import CACHE_DIR_NAME
 from anuraxla.detect.calibrate import map_tau_sweep
 from anuraxla.detect.gaussian_map import fit_map
-from anuraxla.pipeline.session import EncoderSession, encode_species_tree, pad_species_latents
+from anuraxla.pipeline.session import (
+    EncoderSession,
+    concat_species_latents,
+    encode_species_tree,
+    pad_species_latents,
+)
 from anuraxla.utils.io import load_json, save_json_with_backup
 
 
@@ -98,10 +103,7 @@ def main() -> None:
         session, val_dir, species, cache=False, cache_dir=None,
         max_per_class=0, seed=args.seed,
     )
-    Zv = np.concatenate([Zv_by[sp] for sp in species if sp in Zv_by])
-    true_idx = np.concatenate(
-        [np.full(len(Zv_by[sp]), i, np.int32) for i, sp in enumerate(species) if sp in Zv_by]
-    )
+    Zv, true_idx = concat_species_latents(Zv_by, species)
 
     taus, acc, nodet = map_tau_sweep(
         fit.scores_true_sorted, fit.n_scores,

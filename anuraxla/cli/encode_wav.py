@@ -25,6 +25,7 @@ from anuraxla.cli.common import (
     add_batch_args,
     add_device_arg,
     add_encoder_args,
+    add_mel_args,
     apply_device,
     mel_from_args,
     project_root_here,
@@ -41,14 +42,7 @@ def build_parser() -> argparse.ArgumentParser:
     add_device_arg(p)
     add_encoder_args(p)
     add_batch_args(p)
-    p.add_argument("--sr", type=int, default=48000)
-    p.add_argument("--duration", type=float, default=3.0)
-    p.add_argument("--n-mels", type=int, default=64)
-    p.add_argument("--fmin", type=float, default=150.0)
-    p.add_argument("--fmax", type=float, default=15000.0)
-    p.add_argument("--hop-length", type=int, default=384)
-    p.add_argument("--n-fft", type=int, default=2048)
-    p.add_argument("--target-frames", type=int, default=192)
+    add_mel_args(p, duration_default=3.0)  # duration 3.0: the reference 07 default
     p.add_argument("--auto-frames", action="store_true",
                    help="take target_frames from the encoder artifact's input shape")
     p.add_argument("--jsonl", action="store_true")

@@ -135,7 +135,16 @@ def main() -> None:
                     "--fmin", str(args.fmin), "--fmax", str(args.fmax),
                     "--hop-length", str(args.hop_length), "--n-fft", str(args.n_fft),
                     "--batch-size", str(args.batch_size), "--io-threads", str(args.io_threads),
+                    "--frontend-backend", args.frontend_backend,
                 ]
+                for flag, on in (
+                    ("--fast-frontend", args.fast_frontend),
+                    ("--transfer-int16", args.transfer_int16),
+                    ("--quantize-serving", args.quantize_serving),
+                    ("--data-parallel", args.data_parallel),
+                ):
+                    if on:
+                        shared.append(flag)
                 if args.encoder:
                     shared += ["--encoder", args.encoder]
                 with open(runlog, "w", encoding="utf-8") as lf:
@@ -219,7 +228,11 @@ def _device_sweep(args, session, cfg_path, train_dir, val_dir, grid_root, projec
     from anuraxla.config import priority_ranks, require_species
     from anuraxla.detect.calibrate import radial_qgrid
     from anuraxla.pipeline.fit import _fit_radial_dispatch
-    from anuraxla.pipeline.session import encode_species_tree, pad_species_latents
+    from anuraxla.pipeline.session import (
+        concat_species_latents,
+        encode_species_tree,
+        pad_species_latents,
+    )
 
     cfg = load_json(cfg_path)
     species_all = require_species(cfg)
@@ -236,10 +249,7 @@ def _device_sweep(args, session, cfg_path, train_dir, val_dir, grid_root, projec
         session, val_dir, species, cache=False, cache_dir=None,
         max_per_class=0, seed=args.seed, log=lambda *a: None,
     )
-    Zv = np.concatenate([Zv_by[sp] for sp in species if sp in Zv_by])
-    true_idx = np.concatenate(
-        [np.full(len(Zv_by[sp]), i, np.int32) for i, sp in enumerate(species) if sp in Zv_by]
-    )
+    Zv, true_idx = concat_species_latents(Zv_by, species)
 
     # data-parallel serving: the sweep's decide stage runs SPMD with the val
     # latents batch-sharded over the mesh (pad rows masked out of the metrics)

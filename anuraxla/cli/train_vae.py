@@ -30,9 +30,19 @@ from anuraxla.pipeline.dataset import iter_batches, scan_species_tree
 from anuraxla.utils.timing import stage_timer
 
 
-def mel_batch_stream(root: Path, mel, batch_size: int, io_threads: int, epochs: int):
+def mel_batch_stream(
+    root: Path,
+    mel,
+    batch_size: int,
+    io_threads: int,
+    epochs: int,
+    *,
+    parity: bool = True,
+    backend: str = "matmul",
+):
     """Endless [B, T, M, 1] mel batches from a chunk tree (all species mixed,
-    reshuffled each epoch)."""
+    reshuffled each epoch). ``parity``/``backend`` select the same frontend
+    variants the serving CLIs expose — train on the features you will serve."""
     import random
 
     tree = scan_species_tree(root)
@@ -56,7 +66,7 @@ def mel_batch_stream(root: Path, mel, batch_size: int, io_threads: int, epochs: 
                 bad = np.flatnonzero(~batch.ok)
                 audio = audio.copy()
                 audio[bad] = audio[good[bad % good.size]]
-            mels = np.asarray(log_mel_batch(audio, mel))
+            mels = np.asarray(log_mel_batch(audio, mel, parity=parity, backend=backend))
             yield np.asarray(mel_to_encoder_input(mels))
 
 
@@ -98,7 +108,20 @@ def main() -> None:
         batch_size=args.batch_size, seed=args.seed,
     )
 
-    stream = mel_batch_stream(Path(args.root), mel, args.batch_size, args.io_threads, args.epochs)
+    if args.transfer_int16 or args.quantize_serving:
+        print("ℹ️ --transfer-int16/--quantize-serving are serving-path flags; "
+              "training ignores them")
+    backend = args.frontend_backend
+    if backend == "matmul" and jax.default_backend() == "cpu":
+        # the dense-DFT matmul exists for the MXU; on CPU it is ~300 GFLOP
+        # per batch (minutes/step). The fft backend is the librosa-exact
+        # oracle — same math, ~1000x cheaper on host.
+        backend = "fft"
+        print("ℹ️ CPU training: using the fft mel backend (matmul is MXU-only fast)")
+    stream = mel_batch_stream(
+        Path(args.root), mel, args.batch_size, args.io_threads, args.epochs,
+        parity=not args.fast_frontend, backend=backend,
+    )
 
     initial_state = None
     if args.resume:

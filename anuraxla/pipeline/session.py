@@ -88,8 +88,10 @@ class EncoderSession:
 
             self._fwd, repl, _mesh = jit_batch_sharded(compute, batch_size=self.batch_size)
             self._params = jax.device_put(self._params, repl)
+            self._data_axis = int(_mesh.shape["data"])
         else:
             self._fwd = jax.jit(compute)
+            self._data_axis = 1
         return self
 
     def reconfigure(
@@ -125,15 +127,19 @@ class EncoderSession:
         PCM16 (half the bytes — exactly lossless when the source files are
         16-bit PCM, which the reference's normalized datasets are; for float
         sources it adds one PCM16 quantization)."""
-        if self.transfer_int16:
-            q = np.clip(np.round(audio * 32768.0), -32768, 32767).astype(np.int16)
-            return np.asarray(self._fwd(self._params, jnp.asarray(q)))
-        return np.asarray(self._fwd(self._params, jnp.asarray(audio)))
+        return np.asarray(self._dispatch(audio))[: audio.shape[0]]
 
     def _dispatch(self, audio: np.ndarray):
-        """Start the device computation without fetching (async dispatch)."""
+        """Start the device computation without fetching (async dispatch).
+        Under data-parallel serving, ragged batches (e.g. a single wav) are
+        padded to a data-axis multiple — SPMD needs even shards; callers
+        already slice results to their own row count."""
         if self.transfer_int16:
             audio = np.clip(np.round(audio * 32768.0), -32768, 32767).astype(np.int16)
+        if getattr(self, "_data_axis", 1) > 1 and audio.shape[0] % self._data_axis:
+            from anuraxla.parallel.mesh import pad_to_multiple
+
+            audio, _ = pad_to_multiple(np.asarray(audio), self._data_axis)
         return self._fwd(self._params, jnp.asarray(audio))
 
     def encode_paths(self, paths: Sequence[Path]) -> Tuple[np.ndarray, np.ndarray, List[Optional[str]]]:
@@ -216,6 +222,9 @@ def session_fingerprint(session: EncoderSession) -> str:
         f"{mel_fingerprint(session.mel)}_p{int(session.parity)}"
         f"_{session.backend}_e{digest}{arch}"
         + ("_q8" if getattr(session, "quantize", False) else "")
+        # int16 link transfer quantizes float/resampled/mixdown sources — it
+        # changes latents, so it must split the cache key
+        + ("_i16" if getattr(session, "transfer_int16", False) else "")
     )
     session._fingerprint = fp
     return fp
@@ -252,11 +261,21 @@ def encode_species_tree(
     for sp in species:
         wavs = tree.get(sp, [])
         cpath = cache_path_for(cache_dir, chunks_dir, sp) if cache else None
+        root_key = str(Path(chunks_dir).resolve())
+        # seed only matters when subsampling actually draws
+        sub_key = f"{max_per_class}:{seed}" if max_per_class else "all"
         if cpath is not None and cpath.exists():
             data = np.load(cpath, allow_pickle=False)
-            stale = "mel_fp" in data and str(data["mel_fp"]) != fp
-            if "mel_fp" not in data:
-                stale = True  # legacy/unfingerprinted cache: re-encode rather than trust
+            # stale when ANY of the identity fields is missing or differs:
+            # the session fingerprint (mel/frontend/encoder), the RESOLVED
+            # source root (same-named trees from different datasets share a
+            # file name), and the subsampling request (the archive stores the
+            # post-subsample latents, so max_per_class/seed are identity too)
+            stale = (
+                "mel_fp" not in data or str(data["mel_fp"]) != fp
+                or "root" not in data or str(data["root"]) != root_key
+                or "sub" not in data or str(data["sub"]) != sub_key
+            )
             if not stale:
                 Zm = data["Z"].astype(np.float32)
                 Z_by[sp] = Zm
@@ -264,7 +283,7 @@ def encode_species_tree(
                 used[sp] = int(Zm.shape[0])
                 log(f"🧊 {sp}: cache {cpath.name} -> N={Zm.shape[0]}")
                 continue
-            log(f"♻️ {sp}: cache stale (mel/frontend/encoder changed), re-encoding")
+            log(f"♻️ {sp}: cache stale (mel/frontend/encoder/root/subsample changed), re-encoding")
 
         if not wavs:
             log(f"⚠️ {sp}: no wavs under {Path(chunks_dir) / sp} (skipped)")
@@ -284,10 +303,29 @@ def encode_species_tree(
         log(f"🧪 {sp}: encoded N={Zm.shape[0]} (failed={n_fail}) [{t.rate:.1f} chunks/s]")
 
         if cpath is not None:
-            np.savez_compressed(cpath, Z=Zm, failed=n_fail, root=str(chunks_dir), mel_fp=fp)
+            np.savez_compressed(cpath, Z=Zm, failed=n_fail, root=root_key, mel_fp=fp, sub=sub_key)
             log(f"   ↳ cached: {cpath.name}")
 
     return Z_by, failed, used
+
+
+def concat_species_latents(
+    Z_by: Dict[str, np.ndarray], species: Sequence[str]
+) -> Tuple[np.ndarray, np.ndarray]:
+    """{sp: [N, D]} -> (Z [N_total, D], true_idx [N_total]) with labels
+    indexed by position in ``species``; species absent from Z_by are skipped.
+    The one evaluation-set flattening used by the calibration sweeps."""
+    present = [(i, sp) for i, sp in enumerate(species) if sp in Z_by]
+    if not present:
+        raise SystemExit(
+            "❌ no evaluation latents: none of the species "
+            f"{list(species)} had encodable wavs (wrong --val-root?)"
+        )
+    Z = np.concatenate([Z_by[sp] for _, sp in present])
+    true_idx = np.concatenate(
+        [np.full(len(Z_by[sp]), i, np.int32) for i, sp in present]
+    )
+    return Z, true_idx
 
 
 def pad_species_latents(

@@ -19,7 +19,8 @@ def make_session(tmp_path, **kw) -> EncoderSession:
     if not (enc_dir / "encoder.msgpack").exists():
         _, params = init_encoder(VCFG, 0)
         save_encoder(enc_dir, VCFG, params)
-    return EncoderSession(mel=MEL, batch_size=4, encoder_dir=enc_dir,
+    kw.setdefault("batch_size", 4)
+    return EncoderSession(mel=MEL, encoder_dir=enc_dir,
                           project_root=tmp_path, **kw).load()
 
 
@@ -61,6 +62,71 @@ def test_fast_frontend_runs_and_differs_slightly(tmp_path, rng):
     # different op order (crop-first stats) but strongly correlated latents
     c = np.corrcoef(z_par.ravel(), z_fast.ravel())[0, 1]
     assert c > 0.95, c
+
+
+def test_fingerprint_covers_transfer_int16(tmp_path):
+    from anuraxla.pipeline.session import session_fingerprint
+
+    fp_a = session_fingerprint(make_session(tmp_path))
+    fp_b = session_fingerprint(make_session(tmp_path, transfer_int16=True))
+    assert fp_a != fp_b and fp_b.endswith("_i16")
+
+
+def test_data_parallel_pads_ragged_batches(tmp_path, rng):
+    """A batch smaller than the data-axis count (e.g. encode-wav --wav with
+    --data-parallel) must be padded to even shards, not crash."""
+    import jax
+
+    assert len(jax.devices()) >= 2  # conftest forces the 8-virtual-device CPU
+    s_dp = make_session(tmp_path, data_parallel=True, batch_size=8)
+    s_1 = make_session(tmp_path)
+    batch = (0.1 * rng.standard_normal((1, MEL.num_samples))).astype(np.float32)
+    z_dp = s_dp.encode_array(batch)
+    assert z_dp.shape == (1, VCFG.latent_dim)
+    np.testing.assert_allclose(z_dp, s_1.encode_array(batch), rtol=1e-5, atol=1e-6)
+
+
+def test_cache_stale_on_root_and_subsample_change(tmp_path, rng):
+    """The latent cache must invalidate when the SAME-named tree comes from a
+    different directory, or when max_per_class/seed change (the archive holds
+    post-subsample latents)."""
+    from anuraxla.pipeline.session import encode_species_tree
+
+    sp = "SpA"
+    for site in ("siteA", "siteB"):
+        d = tmp_path / site / "train_chunks" / sp
+        d.mkdir(parents=True)
+        r = np.random.default_rng(hash(site) % 2**32)
+        for i in range(4):
+            write_wav(d / f"{i}.wav", (0.2 * r.standard_normal(MEL.num_samples)).astype(np.float32), MEL.sr)
+
+    s = make_session(tmp_path)
+    cache = tmp_path / "cache"
+    logs: list = []
+    log = lambda *a: logs.append(" ".join(str(x) for x in a))  # noqa: E731
+
+    Za, _, _ = encode_species_tree(s, tmp_path / "siteA" / "train_chunks", [sp],
+                                   cache=True, cache_dir=cache, log=log)
+    # same dir name, different site -> must NOT reuse siteA's latents
+    Zb, _, _ = encode_species_tree(s, tmp_path / "siteB" / "train_chunks", [sp],
+                                   cache=True, cache_dir=cache, log=log)
+    assert not np.allclose(Za[sp], Zb[sp])
+
+    # same site, different subsampling -> re-encode, not cache hit
+    Zc, _, _ = encode_species_tree(s, tmp_path / "siteB" / "train_chunks", [sp],
+                                   cache=True, cache_dir=cache, max_per_class=2, log=log)
+    assert Zc[sp].shape[0] == 2
+
+
+def test_concat_species_latents_empty_is_clear_error():
+    import pytest
+
+    from anuraxla.pipeline.session import concat_species_latents
+
+    with pytest.raises(SystemExit, match="no evaluation latents"):
+        concat_species_latents({}, ["SpA", "SpB"])
+    Z, idx = concat_species_latents({"SpB": np.zeros((3, 4), np.float32)}, ["SpA", "SpB"])
+    assert Z.shape == (3, 4) and (idx == 1).all()
 
 
 def test_quantized_serving_session(tmp_path, rng):
