@@ -16,7 +16,7 @@ bench:
 # full synthetic end-to-end demo into ./demo_project
 e2e-demo:
 	rm -rf demo_project && mkdir -p demo_project/models
-	python -m anuraxla make-synth-data --root demo_project/latent_space_exploration
+	python -m anuraxla make-synth-data --root demo_project/latent_space_exploration --per-species 48
 	cp demo_project/latent_space_exploration/config.json demo_project/config.json
 	cd demo_project && TRAIN_STEPS=50 bash ../scripts/run_full_pipeline.sh
 
