@@ -102,9 +102,12 @@ def train_loop(
     """Single-host training loop over an iterator of [B, T, M, 1] batches.
     ``initial_state`` resumes from a restored checkpoint. Sharded multi-chip
     training lives in anuraxla.parallel.train_sharded."""
-    vae, state = create_train_state(cfg, tc)
     if initial_state is not None:
-        state = initial_state
+        # resume: only the module object is needed — don't pay a full
+        # param+optimizer init just to throw it away
+        vae, state = ConvVAE(cfg), initial_state
+    else:
+        vae, state = create_train_state(cfg, tc)
     step_fn = jax.jit(make_train_step(vae, tc.beta))
     rng = jax.random.PRNGKey(tc.seed + 1)
     n = num_steps if num_steps is not None else tc.total_steps

@@ -66,7 +66,10 @@ bool parse_wav(const uint8_t* raw, size_t raw_len, Fmt* fmt, const uint8_t** dat
       fmt->channels = rd_u16(b + 2);
       fmt->sample_rate = rd_u32(b + 4);
       fmt->bits = rd_u16(b + 14);
-      if (fmt->format == kExtensible && take >= 26) {
+      // spec-complete extensible fmt is 40 bytes (16 base + cbSize + 22 ext);
+      // threshold matches utils/wavio.py so native and Python agree on
+      // truncated extension headers (both reject them)
+      if (fmt->format == kExtensible && take >= 40) {
         fmt->format = rd_u16(b + 24);  // first 2 bytes of SubFormat GUID
       }
       have_fmt = true;

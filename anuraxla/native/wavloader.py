@@ -58,6 +58,12 @@ def load_batch(paths: Sequence[Path], *, sr: int, num_samples: int, num_threads:
     from anuraxla.pipeline.dataset import LoadedBatch
 
     lib = _get_lib()
+    if lib is None:
+        raise RuntimeError(
+            "native WAV loader unavailable (ANURAXLA_NO_NATIVE set, or the "
+            "g++ build failed) — check wavloader.available() and use the "
+            "pure-Python reader (pipeline.dataset does this automatically)"
+        )
     n = len(paths)
     audio = np.zeros((n, num_samples), np.float32)
     ok = np.zeros(n, np.uint8)

@@ -77,7 +77,9 @@ def inv_and_logdet(cov: jax.Array) -> tuple[jax.Array, jax.Array]:
     L = jnp.where(ok[..., None, None], L, L2)
 
     logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)), axis=-1)
-    inv_L = jnp.linalg.solve(L, jnp.broadcast_to(eye, L.shape))
+    # L is lower-triangular by construction: a triangular solve beats the
+    # general LU path in both work and conditioning
+    inv_L = jax.scipy.linalg.solve_triangular(L, jnp.broadcast_to(eye, L.shape), lower=True)
     prec = jnp.swapaxes(inv_L, -1, -2) @ inv_L
     return prec.astype(jnp.float32), logdet
 

@@ -37,14 +37,20 @@ def quantile_sorted(x_sorted: jax.Array, q: jax.Array, n_valid: jax.Array | int)
 def masked_quantile(x: jax.Array, mask: jax.Array, q: jax.Array) -> jax.Array:
     """np.quantile(x[mask], q) for each batch row, fixed-shape.
 
-    x, mask: [..., N]; q: scalar or [..., Q] broadcastable. Rows with zero
-    valid entries return 0.0 (the reference's ``quantile_safe`` empty-input
-    convention, ``08_fit_radial_detector.py:109-112``).
+    x, mask: [..., N]; q: a scalar or 1-D [Q] vector — every batch row gets
+    the SAME quantile set, appended as a trailing axis (batched per-row q is
+    not supported; it would need a different vmap axis pairing). Rows with
+    zero valid entries return 0.0 (the reference's ``quantile_safe``
+    empty-input convention, ``08_fit_radial_detector.py:109-112``).
     """
     big = jnp.asarray(jnp.inf, dtype=x.dtype)
     x_sorted = jnp.sort(jnp.where(mask, x, big), axis=-1)
     n_valid = jnp.sum(mask, axis=-1)
     q = jnp.asarray(q, dtype=jnp.float32)
+    if q.ndim > 1:
+        raise ValueError(
+            f"masked_quantile supports scalar or 1-D q, got shape {q.shape}"
+        )
     if q.ndim == 0:
         out = quantile_sorted(x_sorted, q, n_valid)
         return jnp.where(n_valid > 0, out, 0.0)

@@ -159,6 +159,12 @@ def frame_signal(
         frames = jnp.swapaxes(grouped, 1, 2).reshape(B, n_groups * S, n_fft)
         return frames[:, :num_frames, :]
 
+    # gather fallback must share the fast path's boundary semantics: pad the
+    # tail so out-of-range frames read zeros (JAX gathers otherwise CLAMP
+    # out-of-bounds indices — silently repeating the final sample)
+    need = (first_frame + num_frames - 1) * hop_length + n_fft
+    if need > y.shape[1]:
+        y = jnp.pad(y, ((0, 0), (0, need - y.shape[1])))
     starts = (first_frame + jnp.arange(num_frames)) * hop_length
     idx = starts[:, None] + jnp.arange(n_fft)[None, :]  # [T, n_fft]
     return y[:, idx]

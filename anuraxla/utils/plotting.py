@@ -44,10 +44,11 @@ def write_benchmark_plots(rows: List[dict], out_dir: Path, *, map_variant: bool 
     plt.colorbar()
     plt.xticks(range(n), labels, rotation=45, ha="right")
     plt.yticks(range(n), labels)
+    cm_max = float(cm.max()) if cm.size else 1.0  # all-ERROR run: 0x0 matrix
     for i in range(n):
         for j in range(n):
             plt.text(j, i, str(cm[i, j]), ha="center", va="center", fontsize=8,
-                     color="white" if cm[i, j] < cm.max() * 0.6 else "black")
+                     color="white" if cm[i, j] < cm_max * 0.6 else "black")
     plt.title(f"Confusion Matrix (includes NO_DETECT){suffix}")
     plt.xlabel("pred")
     plt.ylabel("true")

@@ -56,6 +56,30 @@ def test_stft_power_matches_oracle(rng, backend):
         np.testing.assert_allclose(ours[b].T / scale, ref / scale, atol=atol)
 
 
+def test_frame_signal_gather_fallback_zero_pads_tail(rng):
+    """S = ceil(n_fft/hop) > 16 takes the gather path; frames past the padded
+    signal end must read ZEROS like the shifted fast path (JAX gathers clamp
+    out-of-bounds indices — regression for silently repeated tail samples)."""
+    from anuraxla.ops.stft import frame_signal
+
+    n_fft, hop = 512, 16  # S = 32 -> gather fallback
+    L = 1024
+    y = synth(rng, 1, L)
+    T = 1 + L // hop + 4  # beyond the centered frame count: tail overruns the pad
+    frames = np.asarray(
+        frame_signal(y, n_fft=n_fft, hop_length=hop, num_frames=T, center=True)
+    )
+    last_start = (T - 1) * hop  # in padded coordinates
+    overrun = last_start + n_fft - (L + 2 * (n_fft // 2))
+    assert overrun > 0  # precondition: the tail really is out of range
+    np.testing.assert_array_equal(frames[0, -1, -overrun:], 0.0)
+    # in-range columns still match the signal
+    pad = n_fft // 2
+    y_pad = np.pad(np.asarray(y)[0], (pad, pad))
+    np.testing.assert_allclose(frames[0, -1, :-overrun],
+                               y_pad[last_start : last_start + n_fft - overrun])
+
+
 @pytest.mark.parametrize("backend", ["fft", "matmul"])
 def test_log_mel_parity_mode_matches_reference_chain(rng, backend):
     y = synth(rng, 3, CFG.num_samples)
