@@ -84,9 +84,17 @@ class EncoderSession:
         if self.data_parallel and len(jax.devices()) > 1:
             # batch-sharded SPMD over the 'data' axis: each chip computes its
             # shard of the batch, params replicated (anuraxla.parallel)
-            from anuraxla.parallel.mesh import jit_batch_sharded
+            from anuraxla.parallel.mesh import jit_batch_sharded, make_mesh
 
-            self._fwd, repl, _mesh = jit_batch_sharded(compute, batch_size=self.batch_size)
+            mesh = make_mesh()
+            nd = int(mesh.shape["data"])
+            if self.batch_size % nd:
+                self.batch_size = -(-self.batch_size // nd) * nd
+                print(f"ℹ️ data-parallel: batch_size rounded up to "
+                      f"{self.batch_size} ({nd}-way even shards)")
+            self._fwd, repl, _mesh = jit_batch_sharded(
+                compute, mesh=mesh, batch_size=self.batch_size
+            )
             self._params = jax.device_put(self._params, repl)
             self._data_axis = int(_mesh.shape["data"])
         else:

@@ -78,7 +78,10 @@ def test_data_parallel_pads_ragged_batches(tmp_path, rng):
     import jax
 
     assert len(jax.devices()) >= 2  # conftest forces the 8-virtual-device CPU
-    s_dp = make_session(tmp_path, data_parallel=True, batch_size=8)
+    # batch_size 4 is NOT divisible by the 8-device data axis: load() must
+    # round it up, not raise
+    s_dp = make_session(tmp_path, data_parallel=True, batch_size=4)
+    assert s_dp.batch_size % len(jax.devices()) == 0
     s_1 = make_session(tmp_path)
     batch = (0.1 * rng.standard_normal((1, MEL.num_samples))).astype(np.float32)
     z_dp = s_dp.encode_array(batch)
