@@ -145,10 +145,10 @@ def test_session_data_parallel_matches_single(tmp_path, rng):
     np.testing.assert_allclose(s1.encode_array(batch), s8.encode_array(batch),
                                rtol=2e-4, atol=2e-5)
 
-    # batch size not divisible by the data axis -> clean error
-    with pytest.raises(ValueError, match="divide"):
-        EncoderSession(mel=mel, batch_size=9, encoder_dir=tmp_path / "enc",
-                       project_root=tmp_path, data_parallel=True).load()
+    # batch size not divisible by the data axis -> rounded up to even shards
+    s9 = EncoderSession(mel=mel, batch_size=9, encoder_dir=tmp_path / "enc",
+                        project_root=tmp_path, data_parallel=True).load()
+    assert s9.batch_size == 16  # next multiple of the 8-device data axis
 
 
 def _rand_latents(rng, K=4, D=12, ns=(37, 24, 51, 10)):
