@@ -47,6 +47,33 @@ from anuraxla.utils.io import load_json
 from anuraxla.utils.timing import stage_timer
 
 
+def subprocess_shared_args(args, cfg_path) -> list:
+    """The flag set forwarded to every spawned fit/benchmark subprocess in
+    --subprocess-compat mode — every parameter that changes results. Kept as
+    a function so a test can pin it against add_batch_args/add_mel_args
+    (the forwarding silently drifted from the flag surface once already)."""
+    shared = [
+        "--config", str(cfg_path), "--device", args.device,
+        "--sr", str(args.sr), "--n-mels", str(args.n_mels),
+        "--target-frames", str(args.target_frames),
+        "--fmin", str(args.fmin), "--fmax", str(args.fmax),
+        "--hop-length", str(args.hop_length), "--n-fft", str(args.n_fft),
+        "--batch-size", str(args.batch_size), "--io-threads", str(args.io_threads),
+        "--frontend-backend", args.frontend_backend,
+    ]
+    for flag, on in (
+        ("--fast-frontend", args.fast_frontend),
+        ("--transfer-int16", args.transfer_int16),
+        ("--quantize-serving", args.quantize_serving),
+        ("--data-parallel", args.data_parallel),
+    ):
+        if on:
+            shared.append(flag)
+    if args.encoder:
+        shared += ["--encoder", args.encoder]
+    return shared
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--config", type=str, default="config.json")
@@ -128,25 +155,7 @@ def main() -> None:
             if args.subprocess_compat:
                 # forward every parameter that changes results, so this mode
                 # really reproduces the in-process grid point
-                shared = [
-                    "--config", str(cfg_path), "--device", args.device,
-                    "--sr", str(args.sr), "--n-mels", str(args.n_mels),
-                    "--target-frames", str(args.target_frames),
-                    "--fmin", str(args.fmin), "--fmax", str(args.fmax),
-                    "--hop-length", str(args.hop_length), "--n-fft", str(args.n_fft),
-                    "--batch-size", str(args.batch_size), "--io-threads", str(args.io_threads),
-                    "--frontend-backend", args.frontend_backend,
-                ]
-                for flag, on in (
-                    ("--fast-frontend", args.fast_frontend),
-                    ("--transfer-int16", args.transfer_int16),
-                    ("--quantize-serving", args.quantize_serving),
-                    ("--data-parallel", args.data_parallel),
-                ):
-                    if on:
-                        shared.append(flag)
-                if args.encoder:
-                    shared += ["--encoder", args.encoder]
+                shared = subprocess_shared_args(args, cfg_path)
                 with open(runlog, "w", encoding="utf-8") as lf:
                     for cmd in (
                         [sys.executable, "-m", "anuraxla", "fit-radial",

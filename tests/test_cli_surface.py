@@ -55,3 +55,29 @@ def test_reference_flag_names_present():
             continue  # commands without a build_parser are covered by --help
         args = parser().parse_args(argv)
         assert args is not None, module
+
+
+def test_subprocess_compat_forwards_all_result_changing_flags():
+    """--subprocess-compat must forward every results-changing option that
+    add_batch_args/add_mel_args expose — pinned here because the forwarding
+    list silently drifted from the flag surface once (review r2 finding)."""
+    from anuraxla.cli.run_qout_grid import build_parser, subprocess_shared_args
+
+    args = build_parser().parse_args([
+        "--fast-frontend", "--frontend-backend", "pallas-bf16",
+        "--transfer-int16", "--quantize-serving", "--data-parallel",
+        "--encoder", "enc_dir", "--batch-size", "128",
+    ])
+    shared = subprocess_shared_args(args, "cfg.json")
+    for flag in ("--fast-frontend", "--transfer-int16", "--quantize-serving",
+                 "--data-parallel", "--frontend-backend", "--encoder",
+                 "--sr", "--n-mels", "--target-frames", "--fmin", "--fmax",
+                 "--hop-length", "--n-fft", "--batch-size", "--io-threads"):
+        assert flag in shared, flag
+    assert shared[shared.index("--frontend-backend") + 1] == "pallas-bf16"
+    # and the boolean flags are NOT forwarded when off
+    args_off = build_parser().parse_args([])
+    shared_off = subprocess_shared_args(args_off, "cfg.json")
+    for flag in ("--fast-frontend", "--transfer-int16", "--quantize-serving",
+                 "--data-parallel"):
+        assert flag not in shared_off, flag
