@@ -90,8 +90,6 @@ def write_radial(
     species: List[str],
     centroids: np.ndarray,
     rk: np.ndarray,
-    rk_in: np.ndarray,
-    rk_out: np.ndarray,
     *,
     chunks_dir: Path,
     mel: MelConfig,
@@ -159,13 +157,25 @@ def read_map(cfg: Dict[str, Any]) -> Tuple[
     species = [sp for sp in species if isinstance(means_raw[sp], list) and means_raw[sp]]
     if not species:
         raise ValueError("map_detector means/precision/logdet_cov empty or inconsistent.")
-    d = len(means_raw[species[0]])
-    species = [
-        sp
-        for sp in species
-        if len(means_raw[sp]) == d
-        and np.asarray(prec_raw[sp]).shape == (d, d)  # square check (core:407)
-    ]
+    # majority dimension (like read_radial): one malformed/truncated entry
+    # must not discard every healthy detector just by sorting first
+    from collections import Counter
+
+    d = Counter(len(means_raw[sp]) for sp in species).most_common(1)[0][0]
+
+    def _square(sp) -> bool:
+        """Square [d, d] precision check (core:407) that survives ragged
+        lists (np.asarray raises on inhomogeneous shapes — skip, don't die)."""
+        p = prec_raw[sp]
+        return (
+            isinstance(p, list)
+            and len(p) == d
+            and all(isinstance(r, list) and len(r) == d for r in p)
+        )
+
+    species = [sp for sp in species if len(means_raw[sp]) == d and _square(sp)]
+    if not species:
+        raise ValueError("map_detector: no species with consistent [D]/[D,D] shapes.")
 
     means = np.asarray([means_raw[sp] for sp in species], np.float32)
     precs = np.asarray([prec_raw[sp] for sp in species], np.float32)

@@ -123,7 +123,7 @@ def fit_radial_tree(
         log(f"   rho_out: {meta[sp]['rho_out_summary']}")
 
     backup = cfgmod.write_radial(
-        cfg_path, cfg, species, np.asarray(fit.centroids), rk, rk_in, rk_out,
+        cfg_path, cfg, species, np.asarray(fit.centroids), rk,
         chunks_dir=chunks_dir, mel=session.mel, q_in=q_in, q_out=q_out,
         max_per_class=max_per_class, seed=seed, per_species_meta=meta,
     )

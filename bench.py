@@ -96,7 +96,9 @@ def bench_tpu_pipeline(audio: np.ndarray, batch: int, backend: str = "pallas") -
 def bench_reference_style_cpu(audio: np.ndarray, n_chunks: int) -> float:
     """Single-file loop, NumPy mel + torch conv encoder on CPU — the
     reference's execution architecture timed on this host."""
-    sys.path.insert(0, "tests")
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent / "tests"))
     from reference_dsp import wav_to_mel_np  # independent numpy librosa-math oracle
 
     import torch

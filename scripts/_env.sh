@@ -20,6 +20,7 @@ export OUTPUTS_DIR="${OUTPUTS_DIR:-$PROJECT_ROOT/outputs}"
 export ENCODER_DIR="${ENCODER_DIR:-$MODELS_DIR/anuraxla_vae_encoder_v0}"
 export CONFIG_JSON="${CONFIG_JSON:-$PROJECT_ROOT/config.json}"
 
+export CHUNK_SECONDS_DEFAULT="${CHUNK_SECONDS_DEFAULT:-5.0}"
 export QIN_DEFAULT="${QIN_DEFAULT:-0.95}"
 export QOUT_GRID="${QOUT_GRID:-0.10 0.15 0.20 0.25}"
 export MAX_PER_CLASS_DEFAULT="${MAX_PER_CLASS_DEFAULT:-400}"

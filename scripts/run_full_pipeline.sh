@@ -20,6 +20,9 @@ done
 for s in 01_normalize_chunks.sh 02_train_vae.sh 03_encode_latents.sh 04_calibrate_qout_grid.sh 05_make_plots.sh; do
   [ -f "$(dirname "$0")/$s" ] || { echo "❌ missing script: $s"; fail=1; }
 done
+[ "$fail" -eq 0 ] || { echo "preflight failed"; exit 1; }
+# seed the default config only AFTER the fail gate: an aborted preflight
+# must not leave artifacts in the user's project dir
 if [ ! -f "$CONFIG_JSON" ]; then
   echo "⚠️ $CONFIG_JSON missing — seeding a default (species + chunk_seconds)"
   python - "$CONFIG_JSON" <<'PY'
@@ -28,7 +31,6 @@ from anuraxla.constants import SPECIES
 json.dump({"species": list(SPECIES), "chunk_seconds": 5.0}, open(sys.argv[1], "w"), indent=2)
 PY
 fi
-[ "$fail" -eq 0 ] || { echo "preflight failed"; exit 1; }
 echo "✅ preflight ok"
 
 bash "$(dirname "$0")/01_normalize_chunks.sh"

@@ -46,7 +46,7 @@ def test_radial_roundtrip_and_backup(tmp_path, rng):
     centroids = rng.standard_normal((K, D)).astype(np.float32)
     rk = np.array([1.0, 2.0], np.float32)
     write_radial(
-        cfg_path, cfg, ["a", "b"], centroids, rk, rk, rk,
+        cfg_path, cfg, ["a", "b"], centroids, rk,
         chunks_dir=tmp_path, mel=DEFAULT_MEL.replace(duration=2.0),
         q_in=0.9, q_out=0.1, max_per_class=0, seed=1,
         per_species_meta={"a": {}, "b": {}},
@@ -122,3 +122,31 @@ def test_read_map_errors():
         read_map({"map_detector": {"model": "other"}})
     with pytest.raises(ValueError, match="means"):
         read_map({"map_detector": {"model": "gaussian_map"}})
+
+
+def test_read_map_majority_dim_and_ragged_precision():
+    """One truncated/malformed species must not discard the healthy majority
+    (read_radial semantics), and ragged precision lists are skipped, not a
+    numpy crash."""
+    eye2 = [[1.0, 0.0], [0.0, 1.0]]
+    md = {
+        "model": "gaussian_map",
+        # 'Aaa' sorts first but is truncated to D=1; 'Bbb'/'Ccc' are healthy
+        "means": {"Aaa": [1.0], "Bbb": [0.0, 1.0], "Ccc": [2.0, 3.0]},
+        "precision": {"Aaa": [[1.0]], "Bbb": eye2, "Ccc": [[1.0, 0.0], [0.0]]},
+        "logdet_cov": {"Aaa": 0.0, "Bbb": 0.0, "Ccc": 0.0},
+    }
+    species, means, precs, lds, priors, tau, cs = read_map({"map_detector": md})
+    # majority dimension is 2; Aaa (wrong D) and Ccc (ragged precision) skipped
+    assert species == ["Bbb"]
+    assert means.shape == (1, 2) and precs.shape == (1, 2, 2)
+
+    # nothing consistent at all -> clear error, not an empty-array crash
+    md_bad = {
+        "model": "gaussian_map",
+        "means": {"Aaa": [1.0], "Bbb": [2.0]},
+        "precision": {"Aaa": [[1.0, 0.0]], "Bbb": "nope"},
+        "logdet_cov": {"Aaa": 0.0, "Bbb": 0.0},
+    }
+    with pytest.raises(ValueError, match="consistent"):
+        read_map({"map_detector": md_bad})

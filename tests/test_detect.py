@@ -204,7 +204,7 @@ def test_map_tau_sweep_consistent(rng):
         fit.scores_true_sorted, fit.n_scores, jnp.asarray(Zev), jnp.asarray(true_idx),
         fit.means, fit.precisions, fit.logdets, fit.priors, np.array([0.01, 0.5, 0.99], np.float32),
     )
-    taus, acc, nodet = map_v = [np.asarray(v) for v in (taus, acc, nodet)]
+    taus, acc, nodet = (np.asarray(v) for v in (taus, acc, nodet))
     assert np.all(np.diff(taus) >= 0)
     assert np.all(np.diff(nodet) >= 0)  # higher tau -> more rejection
     # at the highest tau nearly everything is rejected
