@@ -1,5 +1,5 @@
 # anuraxla developer entry points
-.PHONY: native test test-fast bench e2e-demo clean
+.PHONY: native test test-fast test-tpu bench e2e-demo clean
 
 native:
 	python -m anuraxla.native.build
@@ -9,6 +9,12 @@ test: native
 
 test-fast:
 	python -m pytest tests/ -q -x --ignore=tests/test_pipeline_e2e.py --ignore=tests/test_stream.py
+
+# real-chip kernel goldens (bf16 error bound, Mosaic layouts, int8 conv) —
+# run whenever a kernel file changes; needs a TPU attached (self-skips
+# otherwise). First compile through a remote-compile relay can take minutes.
+test-tpu:
+	ANURAXLA_TPU_TESTS=1 python -m pytest tests/test_tpu_kernels.py -q -p no:cacheprovider
 
 bench:
 	python bench.py

@@ -39,18 +39,54 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--cache", action="store_true")
     p.add_argument("--cache-dir", type=str, default=None)
     p.add_argument("--cov-type", type=str, default="lda", choices=["lda", "qda"])
-    p.add_argument("--cov-structure", type=str, default="full", choices=["full", "diag"])
+    # None sentinels so --preset can tell "user said full/0.0" from "default"
+    p.add_argument("--cov-structure", type=str, default=None, choices=["full", "diag"])
     p.add_argument("--priors", type=str, default="empirical", choices=["empirical", "uniform"])
     p.add_argument("--eps", type=float, default=1e-6)
-    p.add_argument("--shrink", type=float, default=0.0)
+    p.add_argument("--shrink", type=float, default=None)
     p.add_argument("--set-tau-q", type=float, default=None,
                    help="e.g. 0.01 => tau = quantile(train true-class scores, 0.01)")
+    p.add_argument(
+        "--preset", type=str, default=None, choices=["small-n"],
+        help="small-n: diag covariance + shrink 0.1 — the regularization the "
+        "reference's knobs (ref:08b_fit_map_detector.py:60-81) exist for. Use "
+        "when classes have fewer samples than latent dims (n_k < D): a full "
+        "pooled covariance then overfits so hard that a train-score tau "
+        "rejects every val chunk (100%% NO_DETECT). Explicit --cov-structure/"
+        "--shrink flags override the preset values.",
+    )
     return p
+
+
+def resolve_preset(args) -> tuple[str, float, list[str]]:
+    """(cov_structure, shrink, notes) after applying --preset small-n.
+    Explicit user flags always win over preset values."""
+    notes: list[str] = []
+    cov_structure = args.cov_structure
+    shrink = args.shrink
+    if args.preset == "small-n":
+        if cov_structure is None:
+            cov_structure = "diag"
+            notes.append("preset small-n: cov_structure=diag")
+        if shrink is None:
+            shrink = 0.1
+            notes.append("preset small-n: shrink=0.1")
+        if args.set_tau_q is None:
+            notes.append(
+                "preset small-n: consider --set-tau-q 0.01 — without tau the "
+                "detector never rejects (NO_DETECT disabled)"
+            )
+    return (
+        cov_structure if cov_structure is not None else "full",
+        shrink if shrink is not None else 0.0,
+        notes,
+    )
 
 
 def main() -> None:
     args = build_parser().parse_args()
-    if not (0.0 <= args.shrink <= 1.0):
+    cov_structure, shrink, preset_notes = resolve_preset(args)
+    if not (0.0 <= shrink <= 1.0):
         raise SystemExit("❌ --shrink must be in [0,1].")
     if args.set_tau_q is not None and not (0.0 < float(args.set_tau_q) < 1.0):
         raise SystemExit("❌ --set-tau-q must be in (0,1).")
@@ -66,10 +102,13 @@ def main() -> None:
     print(f"🧾 config: {cfg_path}")
     print(f"📁 chunks dir: {chunks_dir}")
     print(
-        f"🎯 cov_type={args.cov_type} | cov_structure={args.cov_structure} | "
-        f"priors={args.priors} | eps={args.eps} | shrink={args.shrink}"
+        f"🎯 cov_type={args.cov_type} | cov_structure={cov_structure} | "
+        f"priors={args.priors} | eps={args.eps} | shrink={shrink}"
     )
-    print(f"🎯 max_per_class={args.max_per_class} | cache={args.cache}\n")
+    print(f"🎯 max_per_class={args.max_per_class} | cache={args.cache}")
+    for note in preset_notes:
+        print(f"🧩 {note}")
+    print()
 
     session = EncoderSession(
         mel=mel_from_args(args, chunk_seconds),
@@ -81,8 +120,8 @@ def main() -> None:
     cache_dir = Path(args.cache_dir) if args.cache_dir else (project_root / CACHE_DIR_NAME)
     fit_map_tree(
         cfg_path=cfg_path, cfg=cfg, chunks_dir=chunks_dir, session=session,
-        cov_type=args.cov_type, cov_structure=args.cov_structure, priors_mode=args.priors,
-        eps=args.eps, shrink=args.shrink, tau_q=args.set_tau_q,
+        cov_type=args.cov_type, cov_structure=cov_structure, priors_mode=args.priors,
+        eps=args.eps, shrink=shrink, tau_q=args.set_tau_q,
         cache=args.cache, cache_dir=cache_dir,
         max_per_class=args.max_per_class, seed=args.seed,
     )

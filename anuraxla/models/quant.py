@@ -132,8 +132,11 @@ def quantize_encoder(params: Any, cfg: VAEConfig, calib_x: jax.Array | None = No
     calib_x: a representative [B, T, M, 1] log-mel batch (a handful of real
     chunks is enough; scales are per-tensor absmax). When ``None``, no
     activation scales are stored and ``encoder_apply_quantized`` computes
-    them dynamically per batch in-graph (one extra reduction per layer —
-    negligible next to the contraction, and robust to any input range).
+    them dynamically in-graph as PER-ROW absmax (one reduction per layer —
+    negligible next to the contraction, robust to any input range, and
+    batch-composition-independent: each row's latent is a function of that
+    row alone, so cached quantized latents stay a reproducible function of
+    the ``_q8`` cache key regardless of batch size or batch-mates).
     """
     collect: dict = {}
     if calib_x is not None:
@@ -188,13 +191,21 @@ def encoder_apply_quantized(q: dict, cfg: VAEConfig, x: jax.Array) -> dict:
     Matches the f32 encoder to post-training-quantization tolerance; the
     deterministic serving contract (z == mu) mirrors ConvVAEEncoder.
     Activation scales come from the stored calibration when present, else
-    dynamically from each batch (per-tensor absmax, in-graph).
+    dynamically as per-ROW absmax (reduced over every axis but batch, so a
+    row's latent never depends on its batch-mates; the per-row factor
+    commutes with the contraction because each output row consumes exactly
+    one input row).
     """
     act = cfg.act
 
     def act_scale(name, v):
         s = q["act_scale"].get(name)
-        return s if s is not None else jnp.maximum(jnp.max(jnp.abs(v)) / 127.0, 1e-12)
+        if s is not None:
+            return s
+        axes = tuple(range(1, v.ndim))
+        return jnp.maximum(
+            jnp.max(jnp.abs(v), axis=axes, keepdims=True) / 127.0, 1e-12
+        )
 
     for i in range(len(cfg.widths)):
         for j, stride in ((0, 2), (1, 1)):

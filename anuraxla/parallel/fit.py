@@ -14,8 +14,9 @@ ICI:
 - the scalar distance/score pools ([K, N] float32 — D× smaller than the
   latents), gathered for the sort that gives exact ``np.quantile``
   linear-interpolation semantics (``ref:08:109-112``). For N where even the
-  pools must stay sharded, ``sharded_quantile_approx`` refines a psum'd
-  histogram (parallel.encode.sharded_distance_histogram) instead.
+  pools must stay sharded, ``sharded_quantile`` reproduces the same
+  semantics EXACTLY from psum'd histogram + count-bisection passes
+  (parallel.encode.sharded_distance_histogram) without any gather.
 
 Both fits return the same RadialFit / MapFit pytrees as the single-device
 versions, so every consumer (config writer, calibration sweep, benchmark)
@@ -45,12 +46,25 @@ def shard_species_latents(
 ) -> tuple[jax.Array, jax.Array]:
     """Place padded [K, Nmax, D] latents on the mesh with the sample axis
     sharded over 'data' (pad rows are masked out) — no chip ever holds the
-    full latent matrix."""
+    full latent matrix.
+
+    Under a multi-process runtime (jax.distributed, mesh spanning hosts)
+    ``device_put`` of a host array onto non-addressable devices is illegal;
+    there, every process must hold the same full host copy (deterministic
+    layout) and a callback materializes only the locally addressable shards.
+    The fits themselves are host-count agnostic — their psums ride
+    ICI within a host and DCN across (parallel.multihost)."""
     n_data = mesh.shape["data"]
     Zp, _ = pad_to_multiple(np.asarray(Z, np.float32), n_data, axis=1)
     mp, _ = pad_to_multiple(np.asarray(mask, bool), n_data, axis=1)
-    Zd = jax.device_put(Zp, NamedSharding(mesh, P(None, "data", None)))
-    md = jax.device_put(mp, NamedSharding(mesh, P(None, "data")))
+    sh_Z = NamedSharding(mesh, P(None, "data", None))
+    sh_m = NamedSharding(mesh, P(None, "data"))
+    if jax.process_count() > 1:
+        Zd = jax.make_array_from_callback(Zp.shape, sh_Z, lambda idx: Zp[idx])
+        md = jax.make_array_from_callback(mp.shape, sh_m, lambda idx: mp[idx])
+    else:
+        Zd = jax.device_put(Zp, sh_Z)
+        md = jax.device_put(mp, sh_m)
     return Zd, md
 
 
@@ -206,7 +220,7 @@ def fit_map_sharded(
     return _finish(Zd, md)
 
 
-def sharded_quantile_approx(
+def sharded_quantile(
     d,
     mask,
     q: float,
@@ -214,44 +228,128 @@ def sharded_quantile_approx(
     mesh: Mesh,
     n_bins: int = 8192,
     n_refine: int = 2,
+    empty_fill: float = np.inf,
+    max_bisect: int = 160,
 ) -> jax.Array:
-    """Approximate global quantile of sharded per-species distances without
-    gathering even the scalar pool: psum'd histogram, refined ``n_refine``
-    times by zooming into the bin containing the nearest-rank order statistic
-    (each pass narrows the bracket n_bins-fold; 2 passes on 8192 bins give a
-    ~1e-8·range bracket around the rank-round(q·(n−1)) sample — nearest-rank
-    semantics, not np.quantile's linear interpolation, which would need the
-    two neighboring order statistics). d, mask: [K, N] sharded on axis 1
-    -> [K].
+    """EXACT global quantile (``np.quantile`` linear-interpolation semantics,
+    ``ref:08_fit_radial_detector.py:109-112``) of sharded per-species pools
+    without gathering even the scalar pool. d, mask: [K, N] sharded on
+    axis 1 -> [K].
+
+    Three phases, all O(N/devices) per pass with only [K]- or [n_bins]-sized
+    psums crossing ICI:
+
+    1. psum'd-histogram refinement (``n_refine`` passes, each narrowing the
+       bracket around the rank-⌊q·(n−1)⌋ order statistic n_bins-fold; the
+       chosen bin is widened by one on each side so float binning error can
+       never break the bracket invariant);
+    2. count-threshold bisection (lax.while_loop): maintains
+       count(x ≤ lo) ≤ r1 < count(x ≤ hi) and exits as soon as
+       min{x > lo} is provably the exact order statistic x_(r1) — the exit
+       test IS the exactness certificate, so ties and adversarially close
+       values cannot produce a wrong answer, only extra iterations
+       (``max_bisect`` bounds the pathological case);
+    3. exact finish: s1 = x_(r1) = min{x > lo}; s2 = x_(r1+1) = s1 when the
+       rank-(r1+1) sample ties s1 else min{x > s1}; result
+       s1·(1−frac) + s2·frac — the same order statistics and the same
+       interpolation arithmetic as ops.quantiles, so it matches
+       ``masked_quantile`` to within 1 ulp (XLA may fuse the final
+       multiply-add differently between the two graphs).
+
+    Empty pools return ``empty_fill``. The right fill is caller convention:
+    +inf reproduces the rk_out wrapper's never-constrain semantics
+    (parallel.fit's rk_out maps empty→inf); 0.0 reproduces the reference's
+    ``quantile_safe`` empty→0 convention used for rk_in-style pools
+    (``ref:08:109-112``) — pick explicitly, the two disagree about whether
+    an empty pool means always- or never-accept.
 
     Production fits use the exact sort path; this is the escape hatch for
-    N too large to gather even scalars, exercised by tests for correctness.
+    N too large to gather even scalars, now with identical semantics.
     """
     from anuraxla.parallel.encode import sharded_distance_histogram
 
     hist = sharded_distance_histogram(mesh, n_bins=n_bins)
+    K = d.shape[0]
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(None, "data"), P(None, "data"), P()),
+        out_specs=(P(), P()),
+    )
+    def _count_le_min_above(dk, mk, t):
+        """Per row k: (count(x ≤ t_k), min{x > t_k} or +inf) in one pass —
+        a psum'd count plus a pmax'd (negated) min; both exact, no binning."""
+        le = jax.lax.psum(
+            jnp.sum((mk & (dk <= t[:, None])).astype(jnp.int32), axis=1), "data"
+        )
+        above = jnp.where(mk & (dk > t[:, None]), dk, jnp.inf)
+        mn = -jax.lax.pmax(-jnp.min(above, axis=1), "data")
+        return le, mn
 
     @jax.jit
-    def _one(dk, mk):
-        lo0 = jnp.min(jnp.where(mk, dk, jnp.inf))
-        hi0 = jnp.max(jnp.where(mk, dk, -jnp.inf))
-        n = jnp.sum(mk)
-        # nearest-rank: the order statistic at round(q·(n−1))
-        target = jnp.round(q * (n - 1).astype(jnp.float32))
+    def _all(d, mask):
+        valid = jnp.where(mask, d, jnp.inf)
+        lo0 = jnp.min(valid, axis=1)  # [K]
+        hi0 = jnp.max(jnp.where(mask, d, -jnp.inf), axis=1)
+        n = jnp.sum(mask, axis=1)  # [K]
+        pos = q * jnp.maximum(n - 1, 0).astype(jnp.float32)
+        r1 = jnp.floor(pos).astype(jnp.int32)  # [K]
+        frac = pos - r1.astype(jnp.float32)
+        # f(lo) ≤ r1 needs lo strictly below the pool minimum
+        lo_init = lo0 - jnp.maximum(jnp.abs(lo0) * 1e-3, 1e-3)
 
         def refine(carry, _):
             lo, hi = carry
-            counts = hist(dk, mk, lo, hi)
-            cum = jnp.cumsum(counts)
-            # first bin where the cumulative count passes the target rank
-            b = jnp.argmax(cum > target)
+            bins = jnp.stack(
+                [jnp.cumsum(hist(d[k], mask[k], lo[k], hi[k])) for k in range(K)]
+            )  # [K, n_bins]
+            b = jnp.argmax(bins > r1[:, None].astype(jnp.float32), axis=1)
             width = jnp.maximum(hi - lo, 1e-12) / n_bins
-            return (lo + b * width, lo + (b + 1) * width), None
+            # ±1-bin safety margin: float binning may misplace edge samples
+            return (
+                jnp.maximum(lo + (b - 1) * width, lo),
+                jnp.minimum(lo + (b + 2) * width, hi),
+            ), None
 
-        (lo, hi), _ = jax.lax.scan(refine, (lo0, hi0), None, length=n_refine)
-        # empty pool -> inf, matching the exact fits' no-detect semantics
-        # (otherwise the inf/-inf initial bracket leaks garbage through)
-        return jnp.where(n > 0, 0.5 * (lo + hi), jnp.inf)
+        (lo, hi), _ = jax.lax.scan(refine, (lo_init, hi0), None, length=n_refine)
+        # exact-count validation of the refined bracket: float binning (or a
+        # zero-width pool, n=1) can collapse an endpoint past the order
+        # statistic; fall back to the always-valid initial endpoint so the
+        # bisection invariant f(lo) ≤ r1 < f(hi) holds unconditionally
+        c_lo, _ = _count_le_min_above(d, mask, lo)
+        lo = jnp.where(c_lo <= r1, lo, lo_init)
+        c_hi, _ = _count_le_min_above(d, mask, hi)
+        hi = jnp.where(c_hi >= r1 + 1, hi, hi0)
 
-    # K is small (4 species): loop on the host rather than vmap over shard_map
-    return jnp.stack([_one(d[k], mask[k]) for k in range(d.shape[0])])
+        def cond(state):
+            lo, hi, it = state
+            _, s = _count_le_min_above(d, mask, lo)
+            c_s, _ = _count_le_min_above(d, mask, s)
+            exact = c_s >= r1 + 1  # min{x>lo} already IS x_(r1)
+            return jnp.logical_and(it < max_bisect, ~jnp.all(exact | (n == 0)))
+
+        def body(state):
+            lo, hi, it = state
+            m = 0.5 * (lo + hi)
+            c, _ = _count_le_min_above(d, mask, m)
+            take_lo = c <= r1
+            return (
+                jnp.where(take_lo, m, lo),
+                jnp.where(take_lo, hi, m),
+                it + 1,
+            )
+
+        lo, hi, _ = jax.lax.while_loop(cond, body, (lo, hi, jnp.int32(0)))
+        _, s1 = _count_le_min_above(d, mask, lo)  # x_(r1), exact
+        c_s1, above_s1 = _count_le_min_above(d, mask, s1)
+        s2 = jnp.where(c_s1 >= r1 + 2, s1, above_s1)  # x_(r1+1)
+        res = jnp.where(frac > 0, s1 * (1.0 - frac) + s2 * frac, s1)
+        return jnp.where(n > 0, res, jnp.float32(empty_fill))
+
+    return _all(d, mask)
+
+
+def sharded_quantile_approx(d, mask, q, *, mesh, n_bins=8192, n_refine=2, **kw):
+    """Backward-compatible alias — the escape hatch is exact now."""
+    return sharded_quantile(d, mask, q, mesh=mesh, n_bins=n_bins, n_refine=n_refine, **kw)

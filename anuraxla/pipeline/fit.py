@@ -163,6 +163,20 @@ def fit_map_tree(
     # the reference fits over sorted(species_present) (08b:258)
     Z_by = {sp: Z_by[sp] for sp in sorted(Z_by)}
     species, Z, mask = pad_species_latents(Z_by)
+    # D >> n guard: with fewer samples than latent dims per class, a FULL
+    # pooled covariance is rank-deficient — train-class scores blow up and a
+    # tau fit on them rejects ~everything at eval (100% NO_DETECT). The
+    # reference ships eps/shrink knobs for exactly this
+    # (ref:08b_fit_map_detector.py:60-81); point the user at them.
+    D = Z.shape[2]
+    min_n = int(mask.sum(1).min())
+    if cov_structure == "full" and min_n < D and shrink < 0.05:
+        log(
+            f"⚠️ small-n regime: min class size {min_n} < latent dim {D} with "
+            f"cov_structure=full and shrink={shrink}. The fitted detector will "
+            "likely reject every input once tau is set. Use `--preset small-n` "
+            "(diag + shrink 0.1) or raise --shrink/--eps."
+        )
     fit = _fit_map_dispatch(
         session, Z, mask,
         cov_type=cov_type, cov_structure=cov_structure, priors_mode=priors_mode,

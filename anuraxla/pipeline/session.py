@@ -61,7 +61,8 @@ class EncoderSession:
 
         if self.quantize:
             # int8 serving: weights quantized once here; activation scales
-            # dynamic per batch (models.quant docstring)
+            # dynamic per ROW (models.quant docstring) so a wav's latent —
+            # and the _q8 latent cache — never depends on its batch-mates
             from anuraxla.models.quant import encoder_apply_quantized, quantize_encoder
 
             self._params = quantize_encoder(params, cfg)
@@ -265,13 +266,13 @@ def encode_species_tree(
     failed: Dict[str, int] = {}
     used: Dict[str, int] = {}
     fp = session_fingerprint(session)
+    root_key = str(Path(chunks_dir).resolve())
+    # seed only matters when subsampling actually draws
+    sub_key = f"{max_per_class}:{seed}" if max_per_class else "all"
 
     for sp in species:
         wavs = tree.get(sp, [])
         cpath = cache_path_for(cache_dir, chunks_dir, sp) if cache else None
-        root_key = str(Path(chunks_dir).resolve())
-        # seed only matters when subsampling actually draws
-        sub_key = f"{max_per_class}:{seed}" if max_per_class else "all"
         if cpath is not None and cpath.exists():
             data = np.load(cpath, allow_pickle=False)
             # stale when ANY of the identity fields is missing or differs:

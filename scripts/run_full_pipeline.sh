@@ -45,13 +45,14 @@ else
   echo "== encoder artifact present, skipping training (rm $ENCODER_DIR to retrain) =="
 fi
 # fit the MAP detector once so the MAP benchmark in step 05 has parameters.
-# diag + shrinkage: at demo scale (D=128 latents, tens of chunks per class)
-# a full pooled covariance overfits so hard that the tau computed from train
-# scores rejects every val chunk; the diagonal/shrunk density generalizes.
-# Override MAP_FIT_ARGS for real datasets (e.g. "--cov-structure full").
+# --preset small-n (diag + shrink 0.1): at demo scale (D=128 latents, tens
+# of chunks per class) a full pooled covariance overfits so hard that the
+# tau computed from train scores rejects every val chunk; the preset's
+# diagonal/shrunk density generalizes. Override MAP_FIT_ARGS for real
+# datasets (e.g. "--cov-structure full").
 $ANURAXLA fit-map --config "$CONFIG_JSON" --root "$TRAIN_CHUNKS" \
   --max-per-class "$MAX_PER_CLASS_DEFAULT" --cache --set-tau-q 0.01 \
-  ${MAP_FIT_ARGS:---cov-structure diag --shrink 0.1} --device "$DEVICE_DEFAULT"
+  ${MAP_FIT_ARGS:---preset small-n} --device "$DEVICE_DEFAULT"
 bash "$(dirname "$0")/03_encode_latents.sh"
 bash "$(dirname "$0")/04_calibrate_qout_grid.sh"
 bash "$(dirname "$0")/05_make_plots.sh"

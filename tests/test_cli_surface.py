@@ -57,6 +57,25 @@ def test_reference_flag_names_present():
         assert args is not None, module
 
 
+def test_fit_map_small_n_preset_resolution():
+    """--preset small-n fills diag+shrink 0.1; explicit flags win; no preset
+    keeps the reference defaults (full, 0.0)."""
+    from anuraxla.cli.fit_map import build_parser, resolve_preset
+
+    cov, shr, notes = resolve_preset(build_parser().parse_args(
+        ["--root", "x", "--preset", "small-n"]))
+    assert (cov, shr) == ("diag", 0.1)
+    assert any("tau" in n for n in notes)  # tau guidance printed
+
+    cov, shr, _ = resolve_preset(build_parser().parse_args(
+        ["--root", "x", "--preset", "small-n", "--cov-structure", "full",
+         "--shrink", "0.3", "--set-tau-q", "0.01"]))
+    assert (cov, shr) == ("full", 0.3)
+
+    cov, shr, notes = resolve_preset(build_parser().parse_args(["--root", "x"]))
+    assert (cov, shr, notes) == ("full", 0.0, [])
+
+
 def test_subprocess_compat_forwards_all_result_changing_flags():
     """--subprocess-compat must forward every results-changing option that
     add_batch_args/add_mel_args expose — pinned here because the forwarding

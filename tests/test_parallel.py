@@ -206,41 +206,69 @@ def test_fit_map_sharded_matches_single_device(rng, cov_type, structure, tau_q):
                                np.asarray(ref.scores_true_sorted)[:n], rtol=2e-4, atol=2e-4)
 
 
-def test_sharded_quantile_approx_close_to_exact(rng):
+def test_sharded_quantile_exact_vs_masked_quantile(rng):
+    """The gather-free escape hatch now has full np.quantile interpolation
+    semantics: it must MATCH masked_quantile (the exact sort path) on
+    non-grid q values, ragged masks, and heavy ties (VERDICT r2 item 8)."""
     from anuraxla.ops.quantiles import masked_quantile
-    from anuraxla.parallel.fit import sharded_quantile_approx
+    from anuraxla.parallel.fit import sharded_quantile
 
-    K, N = 3, 256
+    K, N = 4, 256
     d = rng.uniform(0.0, 7.0, (K, N)).astype(np.float32)
+    # heavy ties on row 2: quantize to a coarse grid so interpolation spans
+    # duplicated order statistics
+    d[2] = np.round(d[2] * 2.0) / 2.0
+    # tiny-range row: values clustered far from 0 (stresses the bracketing)
+    d[3] = 1000.0 + d[3] * 1e-3
     mask = np.ones((K, N), bool)
     mask[1, 200:] = False
-    q = 0.2
-    approx = np.asarray(sharded_quantile_approx(jnp.asarray(d), jnp.asarray(mask), q,
-                                                mesh=make_mesh(), n_bins=512, n_refine=2))
-    # nearest-rank contract: within the refined bracket (7/512^2 ~ 2.7e-5)
-    # of the order statistic at round(q*(n-1))
-    for k in range(K):
-        vals = np.sort(d[k][mask[k]])
-        r = int(round(q * (len(vals) - 1)))
-        assert abs(approx[k] - vals[r]) < 1e-3, (k, approx[k], vals[r])
-    # and still a good approximation of the interpolated quantile
-    exact = np.asarray(masked_quantile(jnp.asarray(d), jnp.asarray(mask), jnp.asarray(q)))
-    np.testing.assert_allclose(approx, exact, atol=0.05)
+    for q in (0.2, 0.3337, 0.95, 0.0, 1.0):
+        got = np.asarray(sharded_quantile(jnp.asarray(d), jnp.asarray(mask), q,
+                                          mesh=make_mesh(), n_bins=512, n_refine=2))
+        exact = np.asarray(
+            masked_quantile(jnp.asarray(d), jnp.asarray(mask), jnp.asarray(q))
+        )
+        # same order statistics + same interpolation formula; the only slack
+        # is XLA fusing the final multiply-add differently per graph (1 ulp)
+        np.testing.assert_allclose(got, exact.astype(np.float32), rtol=3e-7,
+                                   atol=0.0, err_msg=f"q={q}")
+        # and against numpy itself
+        ref = np.stack([np.quantile(d[k][mask[k]], q) for k in range(K)])
+        np.testing.assert_allclose(got, ref, rtol=2e-6, atol=0.0, err_msg=f"q={q}")
 
 
-def test_sharded_quantile_approx_empty_pool(rng):
-    """A class with zero valid samples must yield inf (no-detect semantics,
-    matching the exact fits) — not a garbage bracket midpoint."""
-    from anuraxla.parallel.fit import sharded_quantile_approx
+def test_sharded_quantile_single_sample_and_alias(rng):
+    from anuraxla.parallel.fit import sharded_quantile, sharded_quantile_approx
+
+    d = rng.uniform(0.0, 7.0, (1, 64)).astype(np.float32)
+    mask = np.zeros((1, 64), bool)
+    mask[0, 17] = True
+    got = np.asarray(sharded_quantile(jnp.asarray(d), jnp.asarray(mask), 0.4,
+                                      mesh=make_mesh(), n_bins=512))
+    np.testing.assert_array_equal(got, d[0, 17:18])
+    # the legacy name stays importable and exact
+    got2 = np.asarray(sharded_quantile_approx(jnp.asarray(d), jnp.asarray(mask), 0.4,
+                                              mesh=make_mesh()))
+    np.testing.assert_array_equal(got2, d[0, 17:18])
+
+
+def test_sharded_quantile_empty_pool_fill(rng):
+    """A class with zero valid samples yields ``empty_fill`` — +inf default
+    (the rk_out never-constrain convention), 0.0 on request (the reference's
+    quantile_safe rk_in convention) — not a garbage bracket midpoint."""
+    from anuraxla.parallel.fit import sharded_quantile
 
     K, N = 2, 64
     d = rng.uniform(0.0, 7.0, (K, N)).astype(np.float32)
     mask = np.ones((K, N), bool)
     mask[1, :] = False
-    approx = np.asarray(sharded_quantile_approx(jnp.asarray(d), jnp.asarray(mask), 0.2,
-                                                mesh=make_mesh(), n_bins=512, n_refine=2))
-    assert np.isfinite(approx[0])
-    assert np.isinf(approx[1])
+    got = np.asarray(sharded_quantile(jnp.asarray(d), jnp.asarray(mask), 0.2,
+                                      mesh=make_mesh(), n_bins=512, n_refine=2))
+    assert np.isfinite(got[0])
+    assert np.isinf(got[1])
+    got0 = np.asarray(sharded_quantile(jnp.asarray(d), jnp.asarray(mask), 0.2,
+                                       mesh=make_mesh(), n_bins=512, empty_fill=0.0))
+    assert got0[1] == 0.0
 
 
 def test_fit_tree_data_parallel_e2e(tmp_path, rng):
@@ -334,6 +362,108 @@ def test_radial_qgrid_sharded_matches_unsharded(rng):
     np.testing.assert_allclose(np.asarray(sh.no_detect_rate), np.asarray(ref.no_detect_rate), atol=1e-7)
     np.testing.assert_allclose(np.asarray(sh.acc_per_class), np.asarray(ref.acc_per_class), atol=1e-7)
     np.testing.assert_allclose(np.asarray(sh.thresholds), np.asarray(ref.thresholds), atol=1e-7)
+
+
+def test_multihost_two_process_cpu_cluster(tmp_path):
+    """REAL 2-process jax.distributed runtime on a localhost coordinator
+    (VERDICT r2 item 3): the global mesh spans both processes (2 devices,
+    1 local each), shard_paths_for_host partitions the file list, and the
+    psum'd sharded fits over the cross-process mesh match the single-process
+    fits on the same pool. Also drives initialize_multihost's off-cluster
+    degrade path (broad except -> False) in a third process."""
+    import json
+    import os
+    import socket
+    import subprocess
+    import sys as _sys
+    from pathlib import Path
+
+    import pytest
+
+    worker = Path(__file__).parent / "multihost_worker.py"
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)  # 1 local CPU device per process, not 8
+    # make anuraxla importable in the children; APPEND so a PJRT-plugin
+    # site dir (e.g. /root/.axon_site) keeps loading
+    repo = str(Path(__file__).resolve().parent.parent)
+    env["PYTHONPATH"] = repo + (
+        ":" + env["PYTHONPATH"] if env.get("PYTHONPATH") else ""
+    )
+
+    # degrade path first (cheap, independent)
+    dout = tmp_path / "degrade.json"
+    p = subprocess.run(
+        [_sys.executable, str(worker), "degrade", str(dout)],
+        env=env, capture_output=True, timeout=120,
+    )
+    assert p.returncode == 0, p.stdout.decode() + p.stderr.decode()
+    dres = json.loads(dout.read_text())
+    assert dres == {"initialized": False, "process_count": 1}
+
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    procs, outs = [], []
+    for pid in range(2):
+        out = tmp_path / f"w{pid}.json"
+        outs.append(out)
+        procs.append(subprocess.Popen(
+            [_sys.executable, str(worker), "cluster", str(port), str(pid), "2", str(out)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        ))
+    logs = []
+    try:
+        for p in procs:
+            stdout, _ = p.communicate(timeout=300)
+            logs.append(stdout.decode(errors="replace"))
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        pytest.skip("2-process jax.distributed cluster timed out on this host")
+    assert all(p.returncode == 0 for p in procs), "\n---\n".join(logs)
+
+    res = [json.loads(o.read_text()) for o in outs]
+    for pid, r in enumerate(res):
+        assert r["initialized"] is True
+        assert r["process_count"] == 2
+        assert r["process_index"] == pid
+        assert r["num_global_devices"] == 2
+        assert r["num_local_devices"] == 1
+        assert r["mesh_shape"] == {"data": 2, "model": 1}
+    # path sharding: disjoint + covering across the two real processes
+    paths = [f"f{i:03d}.wav" for i in range(11)]
+    assert sorted(res[0]["shard"] + res[1]["shard"]) == sorted(paths)
+    assert not set(res[0]["shard"]) & set(res[1]["shard"])
+
+    # both processes computed identical (replicated) fit results
+    for key in ("map_means", "map_logdets", "map_priors", "radial_centroids",
+                "radial_rk", "radial_rk_in", "radial_rk_out"):
+        np.testing.assert_allclose(res[0][key], res[1][key], rtol=0, atol=0,
+                                   err_msg=key)
+
+    # and they match the single-process fits on the same deterministic pool
+    from anuraxla.detect.gaussian_map import fit_map
+    from anuraxla.detect.radial import fit_radial
+
+    rng = np.random.default_rng(7)
+    K, N, D = 3, 32, 6
+    Z = rng.normal(size=(K, N, D)).astype(np.float32)
+    mask = np.ones((K, N), bool)
+    mask[1, 28:] = False
+    ref_m = fit_map(jnp.asarray(Z), jnp.asarray(mask), cov_type="lda",
+                    cov_structure="full", priors_mode="empirical",
+                    eps=1e-6, shrink=0.0, tau_q=0.1)
+    np.testing.assert_allclose(res[0]["map_means"], np.asarray(ref_m.means),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(res[0]["map_logdets"], np.asarray(ref_m.logdets),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(res[0]["map_tau"], float(ref_m.tau), rtol=2e-4)
+    ref_r = fit_radial(jnp.asarray(Z), jnp.asarray(mask), 0.9, 0.2)
+    np.testing.assert_allclose(res[0]["radial_centroids"], np.asarray(ref_r.centroids),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(res[0]["radial_rk"], np.asarray(ref_r.rk),
+                               rtol=2e-4, atol=2e-5)
 
 
 def test_multihost_helpers_single_process():

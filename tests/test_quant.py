@@ -59,6 +59,28 @@ def test_quantized_latents_close_and_jittable(rng):
     assert rel.max() < 0.25, f"rel err {rel}"
 
 
+def test_uncalibrated_latents_independent_of_batch_mates(rng):
+    """Without a calibration batch, activation scales are per-ROW absmax:
+    a wav's quantized latent must be identical whether it is encoded alone
+    or alongside arbitrary batch-mates (the _q8 latent-cache reproducibility
+    contract — scales must not leak batch composition into the latent)."""
+    cfg = VAEConfig()
+    _, params = init_encoder(cfg, seed=0)
+    q = quantize_encoder(params, cfg)  # no calib batch -> dynamic scales
+    x = _mel_batch(rng, cfg, b=4)
+    # batch-mates with a very different dynamic range
+    loud = 50.0 * _mel_batch(rng, cfg, b=4)
+    alone = np.asarray(encoder_apply_quantized(q, cfg, x[:1])["mu"])
+    mixed = np.asarray(
+        encoder_apply_quantized(q, cfg, jnp.concatenate([x[:1], loud]))["mu"]
+    )
+    # the int8 buckets are bit-identical (per-row scales see only the row);
+    # the residual ~1e-6 is XLA's batch-shape-dependent f32 reduction order
+    # in GroupNorm/heads — present for the unquantized encoder too. The old
+    # per-tensor dynamic scales would be off by O(0.1) here (50x scale leak).
+    np.testing.assert_allclose(mixed[0], alone[0], atol=1e-5, rtol=0)
+
+
 def test_quantized_preserves_neighbor_structure(rng):
     """Detection happens on latent distances: nearest-centroid assignments
     must survive quantization for well-separated inputs."""
