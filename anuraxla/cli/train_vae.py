@@ -83,6 +83,14 @@ def main() -> None:
     p.add_argument("--epochs", type=int, default=0, help="0 = loop until --steps")
     p.add_argument("--lr", type=float, default=3e-4)
     p.add_argument("--beta", type=float, default=0.25)
+    p.add_argument("--kl-warmup", type=int, default=500,
+                   help="linear KL ramp 0->beta over this many steps after the "
+                   "delay (0 = off)")
+    p.add_argument("--kl-delay", type=int, default=200,
+                   help="HARD beta=0 for this many steps first. The delay (not "
+                   "just the ramp) is what protects latent geometry: AdamW's "
+                   "normalized updates let any consistent KL gradient collapse "
+                   "mu before recon learns (measured: see models.train.TrainConfig)")
     p.add_argument("--latent-dim", type=int, default=128)
     p.add_argument("--bf16", action="store_true", help="bfloat16 compute dtype")
     # --data-parallel comes from add_batch_args (shared with the encode CLIs)
@@ -105,6 +113,7 @@ def main() -> None:
     )
     tc = TrainConfig(
         learning_rate=args.lr, beta=args.beta, total_steps=args.steps,
+        kl_warmup_steps=args.kl_warmup, kl_delay_steps=args.kl_delay,
         batch_size=args.batch_size, seed=args.seed,
     )
 

@@ -6,8 +6,10 @@ YAML sidecar whose ``encoder._target_`` tree describes the architecture
 The reference needs the private ``soundscape_vae`` package at load time —
 ``instantiate(enc_cfg)`` returns a factory that is called once to get the
 nn.Module (``ref:map_detector_core.py:135-147``). This module removes that
-dependency for the documented layer vocabulary (Conv2d / GroupNorm / Linear
-feed-forward stacks, the shape contract of ``ref:07:7-13``):
+dependency for the documented layer vocabulary (3x3-Conv2d / GroupNorm /
+BatchNorm2d-folded / norm-free / Linear feed-forward stacks, the shape
+contract of ``ref:07:7-13``; anything else raises a named
+:class:`UnsupportedLayerError` instead of a downstream shape miss):
 
 - ``load_yaml_cfg`` / ``pick_encoder_cfg``: same YAML handling, interpolations
   deliberately NOT resolved (reference behavior).
@@ -141,14 +143,152 @@ def build_nn_module(obj: Any):
 # Shape-based state_dict analysis
 # ---------------------------------------------------------------------------
 
-def _tensor_shapes(sd: Mapping[str, Any]) -> List[Tuple[str, Tuple[int, ...]]]:
-    out = []
-    for k, v in sd.items():
-        shape = tuple(getattr(v, "shape", np.asarray(v).shape))
-        if "num_batches_tracked" in k:  # torch BatchNorm bookkeeping
-            continue
-        out.append((k, shape))
-    return out
+class UnsupportedLayerError(ValueError):
+    """A state_dict tensor (named!) falls outside the ingestable layer
+    vocabulary — raised instead of letting the shape mapper miss downstream
+    with an unhelpful shape mismatch (VERDICT r2 item 6)."""
+
+
+def _shape_of(v) -> Tuple[int, ...]:
+    return tuple(getattr(v, "shape", np.asarray(v).shape))
+
+
+def parse_layer_stream(sd: Mapping[str, Any]) -> List[Dict[str, Any]]:
+    """Classify the tensor stream into typed layers by shape + registration
+    order (names are only a tiebreak for one genuinely shape-ambiguous case).
+
+    Supported vocabulary:
+      - 3x3 Conv2d, with or without bias;
+      - GroupNorm (weight+bias pair after a conv);
+      - BatchNorm2d (weight+bias+running_mean+running_var after a conv, or
+        affine=False: running_mean+running_var only, identified by the
+        'running_*' names torch always gives those buffers);
+      - no norm at all after a conv;
+      - Linear (weight+bias), for the dense bottleneck and the heads.
+
+    Anything else raises :class:`UnsupportedLayerError` naming the tensor:
+    non-3x3 kernels, Conv1d/Conv3d ranks, bias-less linears, unexpected
+    1-D runs (PReLU/LayerNorm/...), trailing norms with no conv.
+    """
+    stream = [
+        (k, v, _shape_of(v))
+        for k, v in sd.items()
+        if "num_batches_tracked" not in k
+    ]
+    layers: List[Dict[str, Any]] = []
+    i = 0
+    while i < len(stream):
+        k, v, s = stream[i]
+        if len(s) == 4:
+            o, c, kh, kw = s
+            if (kh, kw) != (3, 3):
+                raise UnsupportedLayerError(
+                    f"conv '{k}' has kernel {kh}x{kw}; only 3x3 convs are "
+                    "ingestable (ConvVAEEncoder vocabulary)"
+                )
+            i += 1
+            # the following run of length-o 1-D tensors = [bias][norm params]
+            run: List[Tuple[str, Any]] = []
+            while i < len(stream) and len(stream[i][2]) == 1:
+                if stream[i][2][0] != o:
+                    raise UnsupportedLayerError(
+                        f"1-D tensor '{stream[i][0]}' of length {stream[i][2][0]} "
+                        f"after conv '{k}' (out={o}) — not a bias/norm parameter "
+                        "of that conv; unsupported layer family"
+                    )
+                run.append((stream[i][0], stream[i][1]))
+                i += 1
+            if len(run) > 5:
+                names = [n for n, _ in run]
+                raise UnsupportedLayerError(
+                    f"{len(run)} consecutive per-channel tensors after conv "
+                    f"'{k}': {names} — more than one norm layer per conv is "
+                    "not ingestable"
+                )
+            has_bias = len(run) in (1, 3, 5)
+            bias = run[0][1] if has_bias else None
+            norm_run = run[1:] if has_bias else run
+            if len(norm_run) == 0:
+                norm = None
+            elif len(norm_run) == 2:
+                # weight+bias -> GroupNorm, UNLESS the names say these are
+                # BatchNorm running stats (affine=False BN registers only
+                # running_mean/running_var — shape-identical to a GN pair)
+                if any("running" in n for n, _ in norm_run):
+                    norm = {"kind": "bn", "gamma": None, "beta": None,
+                            "mean": norm_run[0][1], "var": norm_run[1][1]}
+                else:
+                    norm = {"kind": "gn", "scale": norm_run[0][1], "bias": norm_run[1][1]}
+            elif len(norm_run) == 4:
+                norm = {"kind": "bn", "gamma": norm_run[0][1], "beta": norm_run[1][1],
+                        "mean": norm_run[2][1], "var": norm_run[3][1]}
+            else:
+                names = [n for n, _ in norm_run]
+                raise UnsupportedLayerError(
+                    f"cannot classify the {len(norm_run)} per-channel tensors "
+                    f"after conv '{k}': {names} (expected GroupNorm pair or "
+                    "BatchNorm quadruple)"
+                )
+            layers.append({"kind": "conv", "name": k, "w": v, "b": bias,
+                           "out": int(o), "cin": int(c), "norm": norm})
+        elif len(s) == 2:
+            o = s[0]
+            if (
+                i + 1 >= len(stream)
+                or len(stream[i + 1][2]) != 1
+                or stream[i + 1][2][0] != o
+            ):
+                raise UnsupportedLayerError(
+                    f"linear '{k}' {s} has no bias tensor following it — "
+                    "bias-less linears are outside the ingest vocabulary"
+                )
+            layers.append({"kind": "linear", "name": k, "w": v,
+                           "b": stream[i + 1][1], "out": int(o), "cin": int(s[1])})
+            i += 2
+        elif len(s) == 1:
+            raise UnsupportedLayerError(
+                f"per-channel tensor '{k}' (length {s[0]}) with no preceding "
+                "conv to attach to — truncated, reordered, or non-conv "
+                "state_dict"
+            )
+        else:
+            raise UnsupportedLayerError(
+                f"tensor '{k}' has rank {len(s)} (shape {s}) — not a Conv2d/"
+                "GroupNorm/BatchNorm2d/Linear parameter (Conv1d/Conv3d/"
+                "attention stacks are not ingestable)"
+            )
+    return layers
+
+
+def _split_convs_and_linears(layers: List[Dict[str, Any]]):
+    convs = [l for l in layers if l["kind"] == "conv"]
+    linears = [l for l in layers if l["kind"] == "linear"]
+    # the stream must be all convs, then all linears (feed-forward stacks)
+    kinds = [l["kind"] for l in layers]
+    if kinds != ["conv"] * len(convs) + ["linear"] * len(linears):
+        first_bad = next(
+            l["name"] for j, l in enumerate(layers)
+            if l["kind"] == "conv" and j > kinds.index("linear")
+        )
+        raise UnsupportedLayerError(
+            f"conv '{first_bad}' appears after a linear layer — only "
+            "conv-stack-then-dense feed-forward encoders are ingestable"
+        )
+    return convs, linears
+
+
+def _norm_mode(convs: List[Dict[str, Any]]) -> str:
+    """'group' | 'none' from the per-conv norm kinds; mixed kinds error."""
+    kinds = {(c["norm"] or {"kind": "none"})["kind"] if c["norm"] else "none"
+             for c in convs}
+    if kinds == {"gn"}:
+        return "group"
+    if kinds <= {"bn", "none"}:
+        return "none"  # BN folds into the convs; bare convs need no norm
+    raise UnsupportedLayerError(
+        f"mixed normalization kinds across the conv stack: {sorted(kinds)} — "
+        "blocks must be uniformly GroupNorm, uniformly BatchNorm, or norm-free"
+    )
 
 
 def infer_vae_config_from_state_dict(
@@ -161,50 +301,65 @@ def infer_vae_config_from_state_dict(
     """Derive the ConvVAEEncoder-compatible architecture from tensor shapes
     alone: conv pairs give widths, the first 2-D tensor gives dense_width,
     the head rows give latent_dim, and ``auto_find_frames`` recovers
-    target_frames from the dense in_features. ``groups`` falls back to a
-    recursive YAML search for num_groups/groups, then 8."""
-    shapes = _tensor_shapes(sd)
-    convs = [(k, s) for k, s in shapes if len(s) == 4]
-    linears = [(k, s) for k, s in shapes if len(s) == 2]
+    target_frames from the dense in_features. GroupNorm checkpoints keep
+    ``norm='group'`` (``groups`` falls back to a recursive YAML search for
+    num_groups/groups, then 8); BatchNorm or norm-free checkpoints get
+    ``norm='none'`` (the BN affine folds into the convs at mapping time)."""
+    layers = parse_layer_stream(sd)
+    convs, linears = _split_convs_and_linears(layers)
     if not convs or len(linears) < 2:
-        raise ValueError(
+        raise UnsupportedLayerError(
             f"state_dict outside the supported vocabulary: {len(convs)} conv "
-            f"and {len(linears)} linear tensors (need conv blocks + dense + heads)"
+            f"and {len(linears)} linear layers (need conv blocks + dense + heads)"
         )
     if len(convs) % 2 != 0:
-        raise ValueError(f"expected conv pairs per block, got {len(convs)} convs")
+        raise UnsupportedLayerError(
+            f"expected stride-2/stride-1 conv pairs per block, got "
+            f"{len(convs)} convs (last: '{convs[-1]['name']}')"
+        )
     widths = []
     cin = 1
     for i in range(0, len(convs), 2):
-        (k1, s1), (k2, s2) = convs[i], convs[i + 1]
-        if s1[1] != cin or s2[0] != s1[0] or s2[1] != s1[0]:
-            raise ValueError(
-                f"conv chain mismatch at {k1}/{k2}: {s1} then {s2} (after cin={cin})"
+        c1, c2 = convs[i], convs[i + 1]
+        if c1["cin"] != cin or c2["cin"] != c1["out"] or c2["out"] != c1["out"]:
+            raise UnsupportedLayerError(
+                f"conv chain mismatch at '{c1['name']}'/'{c2['name']}': "
+                f"({c1['out']},{c1['cin']}) then ({c2['out']},{c2['cin']}) "
+                f"(after cin={cin})"
             )
-        widths.append(int(s1[0]))
-        cin = int(s1[0])
+        widths.append(c1["out"])
+        cin = c1["out"]
+    norm = _norm_mode(convs)
 
-    dense_k, dense_s = linears[0]
-    heads = [(k, s) for k, s in linears[1:]]
+    dense = linears[0]
+    heads = linears[1:]
     if len(heads) not in (1, 2):
-        raise ValueError(f"expected 1 (mu) or 2 (mu+logvar) head linears, got {len(heads)}")
-    latent_dim = int(heads[0][1][0])
-    for k, s in heads:
-        if s != (latent_dim, dense_s[0]):
-            raise ValueError(f"head {k} has shape {s}, expected {(latent_dim, dense_s[0])}")
+        raise UnsupportedLayerError(
+            f"expected 1 (mu) or 2 (mu+logvar) head linears, got {len(heads)} "
+            f"(first extra: '{heads[2]['name']}')" if len(heads) > 2 else
+            f"expected 1 (mu) or 2 (mu+logvar) head linears, got {len(heads)}"
+        )
+    latent_dim = heads[0]["out"]
+    for h in heads:
+        if (h["out"], h["cin"]) != (latent_dim, dense["out"]):
+            raise UnsupportedLayerError(
+                f"head '{h['name']}' has shape ({h['out']},{h['cin']}), "
+                f"expected ({latent_dim},{dense['out']})"
+            )
 
     if groups is None:
         groups = _find_int_key(yaml_cfg or {}, ("num_groups", "groups")) or 8
 
-    t = auto_find_frames(int(dense_s[1]), n_mels=n_mels, widths=widths)
+    t = auto_find_frames(dense["cin"], n_mels=n_mels, widths=widths)
     return VAEConfig(
         latent_dim=latent_dim,
         widths=tuple(widths),
-        dense_width=int(dense_s[0]),
+        dense_width=dense["out"],
         groups=int(groups),
         input_hw=(t, n_mels),
         conv_padding="TORCH",
         gn_eps=1e-5,
+        norm=norm,
     )
 
 
@@ -262,67 +417,116 @@ def convert_dense_from_nchw_flatten(w, b, *, c: int, h: int, wd: int) -> Dict[st
     return {"kernel": W.T, "bias": bias}
 
 
-def map_foreign_state_dict(sd: Mapping[str, Any], cfg: VAEConfig) -> Dict[str, Any]:
-    """Map ANY feed-forward conv/gn/linear state_dict onto ConvVAEEncoder
-    params purely by shape + registration order — no name conventions.
+def _to_np32(t) -> np.ndarray:
+    if hasattr(t, "detach"):
+        t = t.detach().cpu().numpy()
+    return np.asarray(t, np.float32)
 
-    Expected tensor stream per block i (names free):
-      conv[w,cin,3,3], bias[w], gn w/b pairs [w]×2, conv[w,w,3,3], bias[w],
-      gn pairs [w]×2; then dense [dw, flat]+[dw] (NCHW-flatten order,
-      reordered here to the NHWC flatten the flax encoder uses); then
-      head_mu and optionally head_logvar [D, dw]+[D] (mu first — the
-      reference probes z/mu first). Single-head checkpoints get a zero
-      logvar head (unused for deterministic latents).
-    """
-    stream = [(k, v) for k, v in sd.items() if "num_batches_tracked" not in k]
-    pos = 0
 
-    def take(expect_shape, role):
-        nonlocal pos
-        if pos >= len(stream):
-            raise ValueError(f"state_dict exhausted looking for {role} {expect_shape}")
-        k, v = stream[pos]
-        shape = tuple(getattr(v, "shape", np.asarray(v).shape))
-        if shape != tuple(expect_shape):
-            raise ValueError(f"{role}: expected shape {tuple(expect_shape)}, got {k}{shape}")
-        pos += 1
-        return v
+def _fold_conv(conv: Dict[str, Any], *, bn_eps: float) -> Tuple[np.ndarray, np.ndarray]:
+    """(torch-layout W [O,I,3,3], bias [O]) with the conv's eval-mode
+    BatchNorm folded in: y = ((x*W + b) − μ)/√(σ²+eps)·γ + β is affine per
+    out-channel, so W' = W·s, b' = (b − μ)·s + β with s = γ/√(σ²+eps).
+    Bias-less convs (the norm carries the offset) get b = 0; affine-less BN
+    gets γ = 1, β = 0. GroupNorm is NOT foldable (it normalizes by runtime
+    group statistics) and is handled as a real layer by the caller."""
+    W = _to_np32(conv["w"])
+    b = _to_np32(conv["b"]) if conv["b"] is not None else np.zeros(W.shape[0], np.float32)
+    norm = conv["norm"]
+    if norm is not None and norm["kind"] == "bn":
+        mean = _to_np32(norm["mean"])
+        var = _to_np32(norm["var"])
+        gamma = _to_np32(norm["gamma"]) if norm["gamma"] is not None else np.ones_like(mean)
+        beta = _to_np32(norm["beta"]) if norm["beta"] is not None else np.zeros_like(mean)
+        s = gamma / np.sqrt(var + bn_eps)
+        W = W * s[:, None, None, None]
+        b = (b - mean) * s + beta
+    return W, b
+
+
+def map_foreign_state_dict(
+    sd: Mapping[str, Any], cfg: VAEConfig, *, bn_eps: float = 1e-5
+) -> Dict[str, Any]:
+    """Map ANY feed-forward conv/norm/linear state_dict onto ConvVAEEncoder
+    params purely by shape + registration order — no name conventions
+    (``parse_layer_stream`` raises a named UnsupportedLayerError for
+    anything outside the vocabulary).
+
+    Expected layer stream (names free): per block i a stride-2 and a
+    stride-1 3x3 conv, each optionally biased and followed by GroupNorm
+    (kept as params; ``cfg.norm='group'``), BatchNorm2d (FOLDED into the
+    conv weights — eval-mode BN is a per-channel affine; ``cfg.norm='none'``)
+    or nothing; then dense [dw, flat]+[dw] (NCHW-flatten order, reordered
+    here to the NHWC flatten the flax encoder uses); then head_mu and
+    optionally head_logvar [D, dw]+[D] (mu first — the reference probes
+    z/mu first, ``ref:map_detector_core.py:279-288``). Single-head
+    checkpoints get a zero logvar head (unused for deterministic latents).
+    ``bn_eps`` is torch BatchNorm2d's eps (1e-5 default; not stored in
+    state_dicts)."""
+    layers = parse_layer_stream(sd)
+    convs, linears = _split_convs_and_linears(layers)
+    if len(convs) != 2 * len(cfg.widths):
+        raise UnsupportedLayerError(
+            f"{len(convs)} convs in checkpoint vs {2 * len(cfg.widths)} in the "
+            f"target architecture {tuple(cfg.widths)}"
+        )
+    expected_norm = _norm_mode(convs)
+    if expected_norm != cfg.norm:
+        raise UnsupportedLayerError(
+            f"checkpoint norm family ({expected_norm}) does not match "
+            f"cfg.norm={cfg.norm!r} — infer_vae_config_from_state_dict sets "
+            "this automatically"
+        )
+
+    def check(cond: bool, msg: str):
+        if not cond:
+            raise UnsupportedLayerError(msg)
 
     params: Dict[str, Any] = {}
     cin = 1
     for i, w in enumerate(cfg.widths):
-        blk = {}
-        blk["Conv_0"] = convert_conv(take((w, cin, 3, 3), f"block{i}.conv1.weight"),
-                                     take((w,), f"block{i}.conv1.bias"))
-        blk["GroupNorm_0"] = convert_groupnorm(take((w,), f"block{i}.gn1.weight"),
-                                               take((w,), f"block{i}.gn1.bias"))
-        blk["Conv_1"] = convert_conv(take((w, w, 3, 3), f"block{i}.conv2.weight"),
-                                     take((w,), f"block{i}.conv2.bias"))
-        blk["GroupNorm_1"] = convert_groupnorm(take((w,), f"block{i}.gn2.weight"),
-                                               take((w,), f"block{i}.gn2.bias"))
+        blk: Dict[str, Any] = {}
+        for j, slot in ((0, "Conv_0"), (1, "Conv_1")):
+            conv = convs[2 * i + j]
+            want_cin = cin if j == 0 else w
+            check(
+                (conv["out"], conv["cin"]) == (w, want_cin),
+                f"conv '{conv['name']}': channels ({conv['out']},{conv['cin']}) "
+                f"do not match block {i} slot {j} ({w},{want_cin})",
+            )
+            Wt, bt_ = _fold_conv(conv, bn_eps=bn_eps)
+            blk[slot] = convert_conv(Wt, bt_)
+            if cfg.norm == "group":
+                n = conv["norm"]
+                check(n is not None and n["kind"] == "gn",
+                      f"conv '{conv['name']}' lacks the GroupNorm pair cfg.norm "
+                      "requires")
+                blk[f"GroupNorm_{j}"] = convert_groupnorm(n["scale"], n["bias"])
         params[f"EncoderBlock_{i}"] = blk
         cin = w
     bt, bm = bottleneck_for(*cfg.input_hw, len(cfg.widths))
     flat = bt * bm * cfg.widths[-1]
+    dense = linears[0]
+    check((dense["out"], dense["cin"]) == (cfg.dense_width, flat),
+          f"dense '{dense['name']}': ({dense['out']},{dense['cin']}) vs expected "
+          f"({cfg.dense_width},{flat})")
     params["Dense_0"] = convert_dense_from_nchw_flatten(
-        take((cfg.dense_width, flat), "dense.weight"),
-        take((cfg.dense_width,), "dense.bias"),
-        c=cfg.widths[-1], h=bt, wd=bm,
+        dense["w"], dense["b"], c=cfg.widths[-1], h=bt, wd=bm,
     )
-    params["head_mu"] = convert_linear(take((cfg.latent_dim, cfg.dense_width), "head_mu.weight"),
-                                       take((cfg.latent_dim,), "head_mu.bias"))
-    if pos < len(stream):
-        params["head_logvar"] = convert_linear(
-            take((cfg.latent_dim, cfg.dense_width), "head_logvar.weight"),
-            take((cfg.latent_dim,), "head_logvar.bias"))
+    heads = linears[1:]
+    check(1 <= len(heads) <= 2, f"{len(heads)} head linears after the dense layer")
+    for h in heads:
+        check((h["out"], h["cin"]) == (cfg.latent_dim, cfg.dense_width),
+              f"head '{h['name']}': ({h['out']},{h['cin']}) vs expected "
+              f"({cfg.latent_dim},{cfg.dense_width})")
+    params["head_mu"] = convert_linear(heads[0]["w"], heads[0]["b"])
+    if len(heads) == 2:
+        params["head_logvar"] = convert_linear(heads[1]["w"], heads[1]["b"])
     else:  # single-head checkpoint: embedding IS mu; logvar never used
         params["head_logvar"] = {
             "kernel": np.zeros((cfg.dense_width, cfg.latent_dim), np.float32),
             "bias": np.zeros((cfg.latent_dim,), np.float32),
         }
-    if pos != len(stream):
-        extra = [k for k, _ in stream[pos:]]
-        raise ValueError(f"{len(extra)} unconsumed tensors after mapping: {extra[:5]}")
     return {"params": params}
 
 
@@ -336,21 +540,24 @@ def ingest_foreign_checkpoint(
     *,
     n_mels: int = 64,
     groups: Optional[int] = None,
+    bn_eps: float = 1e-5,
 ) -> Tuple[VAEConfig, Dict[str, Any], Dict[str, Any]]:
     """torch checkpoint (+optional Hydra YAML) -> (VAEConfig, flax params,
-    meta). The YAML contributes hyperparameter hints (groups); architecture
-    and target_frames come from the state_dict shapes."""
+    meta). The YAML contributes hyperparameter hints (groups); architecture,
+    norm family (GroupNorm kept / BatchNorm folded / norm-free) and
+    target_frames come from the state_dict shapes."""
     import torch
 
     ckpt = torch.load(str(pt_path), map_location="cpu", weights_only=False)
     sd = split_model_and_state(ckpt)
     yaml_cfg = load_yaml_cfg(yaml_path) if yaml_path else None
     cfg = infer_vae_config_from_state_dict(sd, n_mels=n_mels, groups=groups, yaml_cfg=yaml_cfg)
-    params = map_foreign_state_dict(sd, cfg)
+    params = map_foreign_state_dict(sd, cfg, bn_eps=bn_eps)
     meta = {
         "source": str(pt_path),
         "yaml": str(yaml_path) if yaml_path else None,
         "target_frames": cfg.input_hw[0],
+        "norm": cfg.norm,
         "n_tensors": len([k for k in sd if "num_batches_tracked" not in k]),
     }
     return cfg, params, meta

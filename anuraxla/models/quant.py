@@ -103,13 +103,15 @@ def encoder_forward_f32(params: Any, cfg: VAEConfig, x: jax.Array, *, collect=No
         pads = _conv_pads(cfg, x.shape[1], x.shape[2], 2)
         note(f"EncoderBlock_{i}/Conv_0", x)
         x = _conv_f32(x, blk["Conv_0"]["kernel"], blk["Conv_0"]["bias"], 2, pads)
-        x = _group_norm(x, blk["GroupNorm_0"]["scale"], blk["GroupNorm_0"]["bias"],
-                        cfg.groups, cfg.gn_eps)
+        if cfg.norm == "group":
+            x = _group_norm(x, blk["GroupNorm_0"]["scale"], blk["GroupNorm_0"]["bias"],
+                            cfg.groups, cfg.gn_eps)
         x = act(x)
         note(f"EncoderBlock_{i}/Conv_1", x)
         x = _conv_f32(x, blk["Conv_1"]["kernel"], blk["Conv_1"]["bias"], 1, ((1, 1), (1, 1)))
-        x = _group_norm(x, blk["GroupNorm_1"]["scale"], blk["GroupNorm_1"]["bias"],
-                        cfg.groups, cfg.gn_eps)
+        if cfg.norm == "group":
+            x = _group_norm(x, blk["GroupNorm_1"]["scale"], blk["GroupNorm_1"]["bias"],
+                            cfg.groups, cfg.gn_eps)
         x = act(x)
     x = x.reshape(x.shape[0], -1)
     note("Dense_0", x)
@@ -151,10 +153,11 @@ def quantize_encoder(params: Any, cfg: VAEConfig, calib_x: jax.Array | None = No
             q["conv"][name] = {"wq": wq, "sw": sw, "bias": blk[f"Conv_{j}"]["bias"]}
             if calib_x is not None:
                 q["act_scale"][name] = jnp.maximum(collect[name] / 127.0, 1e-12)
-            q["gn"][f"EncoderBlock_{i}/GroupNorm_{j}"] = {
-                "scale": blk[f"GroupNorm_{j}"]["scale"],
-                "bias": blk[f"GroupNorm_{j}"]["bias"],
-            }
+            if cfg.norm == "group":
+                q["gn"][f"EncoderBlock_{i}/GroupNorm_{j}"] = {
+                    "scale": blk[f"GroupNorm_{j}"]["scale"],
+                    "bias": blk[f"GroupNorm_{j}"]["bias"],
+                }
     wq, sw = _quant_weight(p["Dense_0"]["kernel"])
     q["conv"]["Dense_0"] = {"wq": wq, "sw": sw, "bias": p["Dense_0"]["bias"]}
     if calib_x is not None:
@@ -215,8 +218,10 @@ def encoder_apply_quantized(q: dict, cfg: VAEConfig, x: jax.Array) -> dict:
             pads = _conv_pads(cfg, x.shape[1], x.shape[2], stride)
             y = _int8_conv(_quant_x(x, sx), c["wq"], stride, pads)
             x = y.astype(jnp.float32) * (sx * c["sw"]) + c["bias"]
-            gn = q["gn"][f"EncoderBlock_{i}/GroupNorm_{j}"]
-            x = act(_group_norm(x, gn["scale"], gn["bias"], cfg.groups, cfg.gn_eps))
+            if cfg.norm == "group":
+                gn = q["gn"][f"EncoderBlock_{i}/GroupNorm_{j}"]
+                x = _group_norm(x, gn["scale"], gn["bias"], cfg.groups, cfg.gn_eps)
+            x = act(x)
     x = x.reshape(x.shape[0], -1)
     c, sx = q["conv"]["Dense_0"], act_scale("Dense_0", x)
     y = _int8_dot(_quant_x(x, sx), c["wq"]).astype(jnp.float32) * (sx * c["sw"]) + c["bias"]

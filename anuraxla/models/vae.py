@@ -58,6 +58,10 @@ class VAEConfig:
     conv_padding: str = "SAME"
     gn_eps: float = 1e-6  # flax GroupNorm default; torch checkpoints use 1e-5
     activation: str = "silu"
+    # "group" = GroupNorm blocks (the native architecture); "none" = no
+    # runtime norm — used by hydra_ingest for BatchNorm checkpoints, where
+    # the eval-mode BN affine is folded into the preceding conv's weights
+    norm: str = "group"
 
     @property
     def bottleneck_hw(self) -> tuple[int, int]:
@@ -82,11 +86,13 @@ class EncoderBlock(nn.Module):
         g = min(cfg.groups, self.width)
         x = nn.Conv(self.width, (3, 3), strides=(2, 2), padding=cfg.stride2_padding,
                     dtype=cfg.dtype)(x)
-        x = nn.GroupNorm(num_groups=g, epsilon=cfg.gn_eps, dtype=cfg.dtype)(x)
+        if cfg.norm == "group":
+            x = nn.GroupNorm(num_groups=g, epsilon=cfg.gn_eps, dtype=cfg.dtype)(x)
         x = cfg.act(x)
         # stride-1 k3: torch padding=1 and XLA SAME are identical
         x = nn.Conv(self.width, (3, 3), strides=(1, 1), padding="SAME", dtype=cfg.dtype)(x)
-        x = nn.GroupNorm(num_groups=g, epsilon=cfg.gn_eps, dtype=cfg.dtype)(x)
+        if cfg.norm == "group":
+            x = nn.GroupNorm(num_groups=g, epsilon=cfg.gn_eps, dtype=cfg.dtype)(x)
         return cfg.act(x)
 
 

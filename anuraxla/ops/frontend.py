@@ -98,14 +98,18 @@ def log_mel_batch(
         first = max(0, (total - cfg.target_frames) // 2)
 
     prec = jax.lax.Precision.HIGHEST
-    if backend in ("pallas", "pallas-bf16") and cfg.hop_length % 128 != 0:
-        # the fused kernel's lane-alignment contract doesn't hold — fall back
-        # to the XLA matmul path (same math; "pallas" stays a safe default
-        # for any hop). pallas-bf16 keeps its reduced-precision/speed intent
-        # by running the fallback matmuls at the MXU's native bf16 precision.
-        if backend == "pallas-bf16":
-            prec = jax.lax.Precision.DEFAULT
-        backend = "matmul"
+    if backend in ("pallas", "pallas-bf16"):
+        from anuraxla.ops.pallas_frontend import pallas_supported
+
+        if not pallas_supported(cfg):
+            # the fused kernels' lane-alignment contracts don't hold (hop
+            # outside the %32/%16 families, e.g. 441) — fall back to the XLA
+            # matmul path (same math; "pallas" stays a safe default for any
+            # hop). pallas-bf16 keeps its reduced-precision/speed intent by
+            # running the fallback matmuls at the MXU's native bf16 precision.
+            if backend == "pallas-bf16":
+                prec = jax.lax.Precision.DEFAULT
+            backend = "matmul"
     if backend in ("pallas", "pallas-bf16"):
         # fused framing+DFT+power+mel kernel (ops.pallas_frontend); computes
         # from frame 0, so the fast path slices afterwards

@@ -188,6 +188,78 @@ def _ct_tables_folded(sr: int, n_fft: int, n_mels: int, fmin: float, fmax: float
     )
 
 
+@functools.lru_cache(maxsize=8)
+def _ct_tables_folded_cat(
+    sr: int, n_fft: int, n_mels: int, fmin: float, fmax: float, exact: bool
+):
+    """Concatenated-operand variant of _ct_tables_folded (fused_dots=True):
+    instead of 6-12 separate [T,128]x[128,128] bf16 passes per r (the 3-pass
+    exact splits of x_re and x_im), each r becomes ONE wide matmul
+
+        [ar_hi ar_hi ar_lo (ai_hi ai_hi ai_lo)] @ RHS_r -> [T, 256] = x_re|x_im
+
+    with the split structure and the x_im negation folded into RHS_r on the
+    host: row-blocks (C_hi|-S_hi; C_lo|-S_lo; C_hi|-S_hi) for the ar
+    columns and (S_hi|C_hi; S_lo|C_lo; S_hi|C_hi) for ai. Same MACs, ~6x
+    fewer MXU ops issued — the kernel is issue-bound, not MAC-bound. The
+    merged filterbank gets the same treatment ([p_hi p_hi p_lo] @ FBCAT_r).
+
+    Returns (win, rhs_real [n_real*K1, 256], rhs_cplx [n_cplx*K2, 256],
+    fbcat [n_half*K1, n_mels]) with K1 = 3*128 (exact) or 128, K2 = 2*K1;
+    real r's are r = 0 and (R even) r = R/2, in ascending order.
+    """
+    import ml_dtypes
+
+    from anuraxla.ops.stft import hann_window
+
+    R = n_fft // 128
+    n_half = R // 2 + 1
+    (chi, clo), (shi, slo), (fbhi, fblo), win = _ct_tables_folded(
+        sr, n_fft, n_mels, fmin, fmax
+    )
+    bf16 = ml_dtypes.bfloat16
+
+    def blocks(r, tab_hi, tab_lo):
+        sl = slice(r * 128, (r + 1) * 128)
+        return np.asarray(tab_hi[sl]), np.asarray(tab_lo[sl])
+
+    rhs_real, rhs_cplx, fbcat = [], [], []
+    for r in range(n_half):
+        Ch, Cl = blocks(r, chi, clo)
+        Sh, Sl = blocks(r, shi, slo)
+        Fh, Fl = blocks(r, fbhi, fblo)
+        if exact:
+            ar_rows = np.concatenate([
+                np.concatenate([Ch, -Sh], axis=1),
+                np.concatenate([Cl, -Sl], axis=1),
+                np.concatenate([Ch, -Sh], axis=1),
+            ])  # [384, 256]
+            ai_rows = np.concatenate([
+                np.concatenate([Sh, Ch], axis=1),
+                np.concatenate([Sl, Cl], axis=1),
+                np.concatenate([Sh, Ch], axis=1),
+            ])
+            fbcat.append(np.concatenate([Fh, Fl, Fh]))  # [384, n_mels]
+        else:
+            ar_rows = np.concatenate([Ch, -Sh], axis=1)  # [128, 256]
+            ai_rows = np.concatenate([Sh, Ch], axis=1)
+            fbcat.append(np.asarray(Fh))
+        real_only = r == 0 or 2 * r == R
+        if real_only:
+            rhs_real.append(ar_rows)
+        else:
+            rhs_cplx.append(np.concatenate([ar_rows, ai_rows]))
+    if not rhs_cplx:  # R = 2: r = 0 and r = R/2 are both real-only — pass a
+        # never-read dummy block (a 0-row VMEM block is not expressible)
+        rhs_cplx.append(np.zeros((768 if exact else 256, 256), np.float32))
+    return (
+        win,
+        np.concatenate(rhs_real).astype(bf16),
+        np.concatenate(rhs_cplx).astype(bf16),
+        np.concatenate(fbcat).astype(bf16),
+    )
+
+
 def _n_add(x, y):
     """Add with None-as-zero (used to elide provably-zero blocks)."""
     if x is None:
@@ -293,28 +365,36 @@ def _split_bf16(x):
 
 
 def _mel_power_ct_kernel(
-    *refs,  # W row refs [1,1,stride], 7 table refs, out [1,TILE_T,n_mels], frames scratch
+    *refs,  # k·W row refs [1,1,1,8,s2], 7 table refs, out [1,TILE_T,n_mels], frames scratch
     hop: int,
     n_fft: int,
     exact: bool,
     W: int,
+    k_copies: int,
+    tile_t: int,
+    rb: int,
+    fused: bool,
 ):
     """Whole-spectrum mel power for one (batch row, frame tile), DFT done as
     a radix-(R=n_fft/128, 128) Cooley–Tukey factorization entirely in VMEM:
 
     - input: the padded signal is reshaped (free, same layout) into
-      [B, n_rows, stride] stride-rows, and passed W times with row index
-      maps shifted by 0..W-1 — step (b, tt) sees the W consecutive rows
-      [tt, tt+W) covering its TILE_T frames as W single-row blocks
+      [B, k, n_rows, stride] stride-rows, and passed k·W times with row
+      index maps shifted by 0..W-1 — step (b, tt) sees the W consecutive
+      rows [tt, tt+W) covering its TILE_T frames as W single-row blocks
       (BlockSpec indices are in block units, so a single W-row block can't
-      express stride-1 overlapping windows — W shifted 1-row views can). No
-      copied/overlapped host staging at all — Pallas's automatic block
-      pipeline prefetches step (b, tt+1)'s rows while (b, tt) computes, at
-      ~W× read amplification (W = 2 for the default config);
-    - frames built with static offsets only: the W row blocks are flattened
-      and concatenated once (at a 1024-aligned stride boundary), then each
-      [8, n_fft] sublane block is a jnp.stack of eight 1-D lane-aligned
-      slices (hop % 128 == 0);
+      express stride-1 overlapping windows — W shifted 1-row views can).
+      The k axis holds lane-phase copies: for hop % 128 == 0 it is k = 1
+      and the reshape is zero-copy (no host staging at all); for smaller
+      hops with hop % 32 == 0 the host stages k = 128/gcd(hop,128) ∈ {2,4}
+      copies of the signal shifted by multiples of g = gcd(hop,128), so
+      every frame offset j·hop is lane-aligned in copy (j·hop mod 128)/g.
+      Pallas's automatic block pipeline prefetches step (b, tt+1)'s rows
+      while (b, tt) computes, at ~k·W× read amplification (1·2 default);
+    - frames built with static offsets only: each copy's W row blocks are
+      flattened and concatenated once (at a 1024-aligned stride boundary),
+      then each [8, n_fft] sublane block is a jnp.stack of eight 1-D
+      lane-aligned slices of the right phase copy;
     - inner R-point stage: contiguous 128-lane blocks of the frame matrix
       combined in-register — radix-4×4 Cooley–Tukey for R=16 (pure block
       adds + 9 twiddles), literal-weight unroll otherwise; this sidesteps
@@ -332,15 +412,24 @@ def _mel_power_ct_kernel(
     2·T·n_fft·n_freq — ≈13× fewer for n_fft=2048 — with ~1× HBM traffic
     (audio in, mel out).
     """
-    y_refs = refs[:W]
-    win_ref, chi_ref, clo_ref, shi_ref, slo_ref, fbhi_ref, fblo_ref = refs[W : W + 7]
-    out_ref, frames = refs[W + 7], refs[W + 8]
+    y_refs = refs[: k_copies * W]
+    base = k_copies * W
+    if fused:
+        win_ref, rhs_real_ref, rhs_cplx_ref, fbcat_ref = refs[base : base + 4]
+        out_ref, frames = refs[base + 4], refs[base + 5]
+        K1 = 3 * 128 if exact else 128  # LHS width per real component
+        n_half = fbcat_ref.shape[0] // K1
+    else:
+        win_ref, chi_ref, clo_ref, shi_ref, slo_ref, fbhi_ref, fblo_ref = refs[base : base + 7]
+        out_ref, frames = refs[base + 7], refs[base + 8]
+        n_half = chi_ref.shape[0] // 128
     R = n_fft // 128
-    n_half = chi_ref.shape[0] // 128
-    # each row ref is [1, 1, 8, S2] (stride = 8*S2; 4-D so the block's last
-    # two dims are full — a Mosaic block-shape requirement)
-    s2 = y_refs[0].shape[3]
+    # each row ref is [rb, 1, 1, 8, S2] (stride = 8*S2; 5-D so the block's
+    # last two dims are full — a Mosaic block-shape requirement; axis 1 is
+    # the lane-phase copy index, axis 0 the row-block of batch rows)
+    s2 = y_refs[0].shape[4]
     stride = 8 * s2
+    g = 128 // k_copies  # lane-phase granule = gcd(hop, 128)
     d = lambda x, y: jnp.dot(x, y, preferred_element_type=jnp.float32)  # noqa: E731
 
     def dot3h(a_split, b_hi, b_lo):
@@ -354,27 +443,91 @@ def _mel_power_ct_kernel(
         a_hi, a_lo = a_split
         return d(a_hi, b_hi) + d(a_hi, b_lo) + d(a_lo, b_hi)
 
-    # Flatten the W [8, s2] stride-rows into one [W*stride] window per grid
-    # step. The per-ref reshape and the single concatenation (at stride
-    # boundaries — always 1024-aligned since stride = TILE_T*hop with
-    # hop % 128 == 0) are Mosaic-legal; per-frame multi-piece concatenation
-    # across sublane rows is not ("input offsets outside the first tile").
-    # Every frame window is then a pure 1-D lane-aligned slice.
-    y_flat = [jnp.reshape(y_refs[i][0, 0, :, :], (stride,)) for i in range(W)]
-    ext = y_flat[0] if W == 1 else jnp.concatenate(y_flat, axis=0)
+    # Flatten each copy's W [8, s2] stride-rows into one [W*stride] window
+    # per grid step. The per-ref reshape and the single concatenation (at
+    # stride boundaries — always lane-aligned since stride = TILE_T*hop
+    # with hop % 32 == 0) are Mosaic-legal; per-frame multi-piece
+    # concatenation across sublane rows is not ("input offsets outside the
+    # first tile"). Every frame window is then a pure 1-D lane-aligned
+    # slice of its phase copy: copy s is the signal shifted by s·g, so
+    # frame j (offset j·hop) reads copy (j·hop mod 128)/g at the aligned
+    # offset ⌊j·hop/128⌋·128.
+    for r_i in range(rb):
+        exts = []
+        for s in range(k_copies):
+            flats = [
+                jnp.reshape(y_refs[s * W + i][r_i, 0, 0, :, :], (stride,))
+                for i in range(W)
+            ]
+            exts.append(flats[0] if W == 1 else jnp.concatenate(flats, axis=0))
 
-    def frame_row(j: int):
-        o = j * hop
-        return jax.lax.slice_in_dim(ext, o, o + n_fft)
+        def frame_row(j: int):
+            o = j * hop
+            s_j = (o % 128) // g
+            a_j = (o // 128) * 128
+            return jax.lax.slice_in_dim(exts[s_j], a_j, a_j + n_fft)
 
-    for i8 in range(TILE_T // 8):
-        frames[i8 * 8 : (i8 + 1) * 8, :] = jnp.stack(
-            [frame_row(i8 * 8 + k) for k in range(8)], axis=0
-        )
+        o_r = r_i * tile_t
+        for i8 in range(tile_t // 8):
+            frames[o_r + i8 * 8 : o_r + (i8 + 1) * 8, :] = jnp.stack(
+                [frame_row(i8 * 8 + k) for k in range(8)], axis=0
+            )
 
     f = frames[:, :] * win_ref[0, :][None, :]  # Hann
     blocks = [f[:, n1 * 128 : (n1 + 1) * 128] for n1 in range(R)]
     inner = _inner_dft16(blocks) if R == 16 else _inner_dft_generic(blocks, R)
+
+    if fused:
+        # concatenated-operand path (_ct_tables_folded_cat): one wide matmul
+        # per r (split structure + x_im negation pre-folded into the RHS) —
+        # same MACs, ~6x fewer MXU ops issued
+        idx_real = idx_cplx = 0
+        acc = None
+        for r in range(n_half):
+            a_re, a_im = inner[r]
+            if exact:
+                ar_hi, ar_lo = _split_bf16(a_re)
+                if a_im is None:
+                    Lh = jnp.concatenate([ar_hi, ar_hi, ar_lo], axis=1)
+                    sl = slice(idx_real * 384, (idx_real + 1) * 384)
+                    x = d(Lh, rhs_real_ref[sl, :])
+                    idx_real += 1
+                else:
+                    ai_hi, ai_lo = _split_bf16(a_im)
+                    Lh = jnp.concatenate(
+                        [ar_hi, ar_hi, ar_lo, ai_hi, ai_hi, ai_lo], axis=1
+                    )
+                    sl = slice(idx_cplx * 768, (idx_cplx + 1) * 768)
+                    x = d(Lh, rhs_cplx_ref[sl, :])
+                    idx_cplx += 1
+            else:
+                ar = a_re.astype(jnp.bfloat16)
+                if a_im is None:
+                    sl = slice(idx_real * 128, (idx_real + 1) * 128)
+                    x = d(ar, rhs_real_ref[sl, :])
+                    idx_real += 1
+                else:
+                    L = jnp.concatenate([ar, a_im.astype(jnp.bfloat16)], axis=1)
+                    sl = slice(idx_cplx * 256, (idx_cplx + 1) * 256)
+                    x = d(L, rhs_cplx_ref[sl, :])
+                    idx_cplx += 1
+            x_re, x_im = x[:, :128], x[:, 128:]
+            p = x_re * x_re + x_im * x_im
+            if exact:
+                p_hi, p_lo = _split_bf16(p)
+                Lp = jnp.concatenate([p_hi, p_hi, p_lo], axis=1)
+                contrib = d(Lp, fbcat_ref[r * 384 : (r + 1) * 384, :])
+            else:
+                contrib = d(
+                    p.astype(jnp.bfloat16), fbcat_ref[r * 128 : (r + 1) * 128, :]
+                )
+            acc = contrib if acc is None else acc + contrib
+        if rb == 1:
+            out_ref[0, :, :] = acc
+        else:
+            for r_i in range(rb):
+                out_ref[r_i, :, :] = acc[r_i * tile_t : (r_i + 1) * tile_t, :]
+        return
 
     acc = None
     for r in range(n_half):
@@ -402,7 +555,27 @@ def _mel_power_ct_kernel(
             p = x_re * x_re + x_im * x_im
             contrib = d(p.astype(jnp.bfloat16), fbhi_ref[sl, :])
         acc = contrib if acc is None else acc + contrib
-    out_ref[0, :, :] = acc
+    if rb == 1:
+        out_ref[0, :, :] = acc
+    else:
+        for r_i in range(rb):
+            out_ref[r_i, :, :] = acc[r_i * tile_t : (r_i + 1) * tile_t, :]
+
+
+def pallas_supported(cfg: MelConfig, algorithm: str = "auto") -> bool:
+    """Whether mel_power_pallas can handle this config (the frontend's
+    fallback gate). ct: n_fft a >=2 multiple of 128 and hop % 32 == 0
+    (lane-phase copies); dense: hop % 16 == 0 (8·hop lane-aligned window
+    slices). Covers the librosa-common hop family 128/160/256/320/384/512;
+    prime-ish hops (441) fall back to the XLA matmul path."""
+    hop, n_fft = cfg.hop_length, cfg.n_fft
+    ct_ok = n_fft % 128 == 0 and n_fft >= 256 and hop % 32 == 0
+    dense_ok = (8 * hop) % 128 == 0
+    if algorithm == "ct":
+        return ct_ok
+    if algorithm == "dense":
+        return dense_ok
+    return ct_ok or dense_ok
 
 
 def mel_power_pallas(
@@ -413,6 +586,9 @@ def mel_power_pallas(
     interpret: bool = False,
     exact: bool = True,
     algorithm: str = "auto",
+    tile_t: int | None = None,
+    row_block: int | None = None,
+    fused_dots: bool | None = None,
 ) -> jax.Array:
     """[B, num_samples] -> mel power [B, num_frames, n_mels], fused on TPU.
 
@@ -426,97 +602,161 @@ def mel_power_pallas(
     default whenever n_fft is a ≥2 multiple of 128), "dense" (windowed-DFT
     bases, the reference-grade fallback), or "auto".
     """
+    import math as _math
+
     B, L = y.shape
     n_fft, hop = cfg.n_fft, cfg.hop_length
-    if hop % 128 != 0:
-        raise NotImplementedError(
-            f"pallas backend needs hop_length % 128 == 0 (lane alignment); got {hop}. "
-            "Use backend='matmul'."
-        )
+    ct_ok = n_fft % 128 == 0 and n_fft >= 256 and hop % 32 == 0
+    dense_ok = (8 * hop) % 128 == 0  # window slices at i8·8·hop lane-aligned
     if algorithm == "auto":
-        algorithm = "ct" if (n_fft % 128 == 0 and n_fft >= 256) else "dense"
-    if algorithm == "ct" and (n_fft % 128 != 0 or n_fft < 256):
-        raise NotImplementedError(f"ct kernel needs n_fft a >=2 multiple of 128, got {n_fft}")
-    n_t_tiles = -(-num_frames // TILE_T)
-    t_pad = n_t_tiles * TILE_T
-    # shifted-window row length: covers frames 0..TILE_T-8 of a tile plus n_fft
-    win_cols = _round_up((TILE_T - 8) * hop + n_fft, 128)
+        if ct_ok:
+            algorithm = "ct"
+        elif dense_ok:
+            algorithm = "dense"
+        else:
+            raise NotImplementedError(
+                f"pallas backend needs hop_length % 32 == 0 (ct, lane-phase "
+                f"copies) or % 16 == 0 (dense); got hop={hop}. Use "
+                "backend='matmul'."
+            )
+    if algorithm == "ct" and not ct_ok:
+        raise NotImplementedError(
+            f"ct kernel needs n_fft a >=2 multiple of 128 and hop % 32 == 0, "
+            f"got n_fft={n_fft}, hop={hop}"
+        )
+    if algorithm == "dense" and not dense_ok:
+        raise NotImplementedError(f"dense kernel needs hop % 16 == 0, got {hop}")
 
     if algorithm == "ct":
-        # No overlapped host staging: the padded signal is reshaped (free,
-        # same layout) into stride-rows of TILE_T·hop samples, and each grid
-        # step's BlockSpec window is the W consecutive rows covering its
-        # frames (tile tt starts exactly at row tt). Pallas streams the
-        # blocks through VMEM automatically; the only staging pass left is
-        # the pad itself.
+        # per-step amortization knobs (bench_kernel_variants sweeps these):
+        # tile_t frames per grid step (must be a multiple of 8; bigger tiles
+        # amortize per-step fixed costs against padding waste), row_block
+        # batch rows per grid step (pure amortization, no padding cost)
+        tile_t = TILE_T if tile_t is None else tile_t
+        if row_block is None:
+            # r3 sweep (scripts/bench_kernel_variants.py on v5e): rb=4 is the
+            # winner at 31.8k chunks/s frontend-exact vs 29.8k at rb=1 (rb=8
+            # fails Mosaic compile; bigger tile_t LOSES — 320 gives 23.6k).
+            # Adaptive so tiny/odd batches don't pay padding for the default.
+            rb = 4 if B % 4 == 0 else (2 if B % 2 == 0 else 1)
+        else:
+            rb = row_block
+        # measured negative (same sweep): concatenating the 3-pass split
+        # operands into one wide matmul per r is ~4% SLOWER in exact mode
+        # (30.5k vs 31.8k) — the kernel is not matmul-issue-bound; the
+        # lane-concats cost more VPU than the batched issue saves.
+        fused = False if fused_dots is None else fused_dots
+        if tile_t % 8 != 0:
+            raise ValueError(f"tile_t must be a multiple of 8, got {tile_t}")
+        n_t_tiles = -(-num_frames // tile_t)
+        t_pad = n_t_tiles * tile_t
+        # The padded signal is reshaped (free, same layout) into stride-rows
+        # of TILE_T·hop samples, and each grid step's BlockSpec window is
+        # the W consecutive rows covering its frames (tile tt starts exactly
+        # at row tt). Pallas streams the blocks through VMEM automatically.
+        # hop % 128 == 0: zero-copy, no host staging at all. Smaller
+        # hop % 32 == 0: k = 128/gcd(hop,128) lane-phase copies of the
+        # signal (shifted by multiples of g = gcd) are staged host-side so
+        # every frame offset is lane-aligned in one of them (k× HBM for
+        # non-default hops; the default 384 stays k = 1).
+        g = _math.gcd(hop, 128)
+        k_copies = 128 // g
         pad_l = n_fft // 2
-        stride = TILE_T * hop  # multiple of 128 since hop is
-        tile_w = (TILE_T - 1) * hop + n_fft
+        stride = tile_t * hop  # multiple of 128: hop % 32 == 0, tile_t % 8 == 0
+        if stride % 128 != 0:
+            raise ValueError(f"tile_t*hop must be a multiple of 128, got {stride}")
+        tile_w = (tile_t - 1) * hop + n_fft
         W = -(-tile_w // stride)  # rows per block window (2 for defaults)
         n_rows = n_t_tiles - 1 + W
-        pad_r = n_rows * stride - (L + pad_l)
+        base_len = n_rows * stride
+        shift_max = (k_copies - 1) * g
+        pad_r = base_len + shift_max - (L + pad_l)
         if pad_r < 0:
             # num_frames covers fewer samples than the signal holds (the
             # fast-frontend path crops the frame range): drop the tail the
             # kernel will never read instead of under-padding
-            y = y[:, : n_rows * stride - pad_l]
+            y = y[:, : base_len + shift_max - pad_l]
             pad_r = 0
-        # 4-D row layout [B, n_rows, 8, stride//8]: Mosaic requires a block's
-        # last two dims divisible by (8, 128) or full — the rows axis can
-        # then be windowed one row at a time
-        s2 = stride // 8  # multiple of 128 since hop is
-        y_rows = jnp.pad(y, ((0, 0), (pad_l, pad_r))).reshape(B, n_rows, 8, s2)
+        # pad the batch to a row-block multiple (grid rows cover rb rows each)
+        B_pad = -(-B // rb) * rb
+        if B_pad != B:
+            y = jnp.pad(y, ((0, B_pad - B), (0, 0)))
+        # 5-D row layout [B, k, n_rows, 8, stride//8]: Mosaic requires a
+        # block's last two dims divisible by (8, 128) or full — the rows
+        # axis can then be windowed one row at a time per phase copy
+        s2 = stride // 8  # multiple of 128 since hop % 32 == 0 (s2 = 2·tile_t/16·hop)
+        y_pad = jnp.pad(y, ((0, 0), (pad_l, pad_r)))
+        if k_copies == 1:
+            y_rows = y_pad.reshape(B_pad, 1, n_rows, 8, s2)
+        else:
+            y_rows = jnp.stack(
+                [
+                    jax.lax.slice_in_dim(y_pad, s * g, s * g + base_len, axis=1)
+                    for s in range(k_copies)
+                ],
+                axis=1,
+            ).reshape(B_pad, k_copies, n_rows, 8, s2)
 
-        (chi, clo), (shi, slo), (fbhi, fblo), win = _ct_tables_folded(
-            cfg.sr, n_fft, cfg.n_mels, cfg.fmin, cfg.fmax
-        )
         R = n_fft // 128
         n_half = R // 2 + 1
+        if fused:
+            win, rhs_real, rhs_cplx, fbcat = _ct_tables_folded_cat(
+                cfg.sr, n_fft, cfg.n_mels, cfg.fmin, cfg.fmax, exact
+            )
+            table_args = [
+                jnp.asarray(win), jnp.asarray(rhs_real), jnp.asarray(rhs_cplx),
+                jnp.asarray(fbcat),
+            ]
+        else:
+            (chi, clo), (shi, slo), (fbhi, fblo), win = _ct_tables_folded(
+                cfg.sr, n_fft, cfg.n_mels, cfg.fmin, cfg.fmax
+            )
+            table_args = [
+                jnp.asarray(win), jnp.asarray(chi), jnp.asarray(clo),
+                jnp.asarray(shi), jnp.asarray(slo), jnp.asarray(fbhi),
+                jnp.asarray(fblo),
+            ]
         kernel = functools.partial(
-            _mel_power_ct_kernel, hop=hop, n_fft=n_fft, exact=exact, W=W
+            _mel_power_ct_kernel, hop=hop, n_fft=n_fft, exact=exact, W=W,
+            k_copies=k_copies, tile_t=tile_t, rb=rb, fused=fused,
         )
         base_spec = lambda shape: pl.BlockSpec(  # noqa: E731
             shape, lambda b, tt: (0,) * len(shape), memory_space=pltpu.VMEM
         )
-        row_spec = lambda i: pl.BlockSpec(  # noqa: E731
-            (1, 1, 8, s2), lambda b, tt, i=i: (b, tt + i, 0, 0), memory_space=pltpu.VMEM
+        row_spec = lambda s, i: pl.BlockSpec(  # noqa: E731
+            (rb, 1, 1, 8, s2), lambda b, tt, s=s, i=i: (b, s, tt + i, 0, 0),
+            memory_space=pltpu.VMEM,
         )
         out = pl.pallas_call(
             kernel,
-            grid=(B, n_t_tiles),
-            in_specs=[row_spec(i) for i in range(W)]
-            + [
-                base_spec((1, n_fft)),
-                base_spec((n_half * 128, 128)),
-                base_spec((n_half * 128, 128)),
-                base_spec((n_half * 128, 128)),
-                base_spec((n_half * 128, 128)),
-                base_spec((n_half * 128, cfg.n_mels)),
-                base_spec((n_half * 128, cfg.n_mels)),
-            ],
+            grid=(B_pad // rb, n_t_tiles),
+            in_specs=[row_spec(s, i) for s in range(k_copies) for i in range(W)]
+            + [base_spec(tuple(a.shape)) for a in table_args],
             out_specs=pl.BlockSpec(
-                (1, TILE_T, cfg.n_mels), lambda b, tt: (b, tt, 0), memory_space=pltpu.VMEM
+                (rb, tile_t, cfg.n_mels), lambda b, tt: (b, tt, 0), memory_space=pltpu.VMEM
             ),
-            out_shape=jax.ShapeDtypeStruct((B, t_pad, cfg.n_mels), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((B_pad, t_pad, cfg.n_mels), jnp.float32),
             scratch_shapes=[
-                pltpu.VMEM((TILE_T, n_fft), jnp.float32),
+                pltpu.VMEM((rb * tile_t, n_fft), jnp.float32),
             ],
             interpret=interpret,
             cost_estimate=pl.CostEstimate(
-                flops=2 * B * t_pad * (n_half * 5 * 128 * 128 + n_half * 128 * cfg.n_mels)
-                + 2 * B * t_pad * n_fft * R,
-                bytes_accessed=B * n_t_tiles * W * stride * 4 + B * t_pad * cfg.n_mels * 4,
+                flops=2 * B_pad * t_pad * (n_half * 5 * 128 * 128 + n_half * 128 * cfg.n_mels)
+                + 2 * B_pad * t_pad * n_fft * R,
+                bytes_accessed=B_pad * n_t_tiles * k_copies * W * stride * 4
+                + B_pad * t_pad * cfg.n_mels * 4,
                 transcendentals=0,
             ),
-        )(
-            *([y_rows] * W), jnp.asarray(win), jnp.asarray(chi), jnp.asarray(clo),
-            jnp.asarray(shi), jnp.asarray(slo), jnp.asarray(fbhi), jnp.asarray(fblo),
-        )
-        return out[:, :num_frames, :]
+        )(*([y_rows] * (k_copies * W)), *table_args)
+        return out[:B, :num_frames, :]
 
     # dense kernel: 8-row hop-shifted copy + manual DMA (see kernel docstring).
     # ~8x the signal in HBM — bound it by processing the batch in lax.map
     # chunks (the kernel compiles once; the scan re-runs it).
+    n_t_tiles = -(-num_frames // TILE_T)
+    t_pad = n_t_tiles * TILE_T
+    # shifted-window row length: covers frames 0..TILE_T-8 of a tile plus n_fft
+    win_cols = _round_up((TILE_T - 8) * hop + n_fft, 128)
     CHUNK_B = 128
     if B > CHUNK_B:
         n_chunks = -(-B // CHUNK_B)

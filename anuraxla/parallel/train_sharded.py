@@ -50,10 +50,11 @@ def shard_state(state, mesh: Mesh):
     return jax.device_put(state, shardings), shardings
 
 
-def make_sharded_train_step(vae, beta: float, mesh: Mesh, state_shardings):
+def make_sharded_train_step(vae, beta: float, mesh: Mesh, state_shardings,
+                            kl_warmup_steps: int = 0, kl_delay_steps: int = 0):
     batch_sh = NamedSharding(mesh, P("data"))
     repl = NamedSharding(mesh, P())
-    step = make_train_step(vae, beta)
+    step = make_train_step(vae, beta, kl_warmup_steps, kl_delay_steps)
     return jax.jit(
         step,
         in_shardings=(state_shardings, batch_sh, repl),
@@ -78,7 +79,8 @@ def train_loop_sharded(
     mesh = mesh or make_mesh(model_axis=model_axis)
     vae, state = create_train_state(cfg, tc)
     state, state_shardings = shard_state(state, mesh)
-    step_fn = make_sharded_train_step(vae, tc.beta, mesh, state_shardings)
+    step_fn = make_sharded_train_step(vae, tc.beta, mesh, state_shardings,
+                                     tc.kl_warmup_steps, tc.kl_delay_steps)
     batch_sh = NamedSharding(mesh, P("data"))
 
     rng = jax.random.PRNGKey(tc.seed + 1)

@@ -11,7 +11,7 @@ from anuraxla.ops.pallas_frontend import mel_power_pallas
 from anuraxla.ops.stft import stft_power
 from anuraxla.ops.mel import mel_filterbank
 
-# small config honoring the kernel's alignment contract (hop % 128 == 0)
+# small config on the kernel's zero-copy fast path (hop % 128 == 0, k = 1)
 CFG = MelConfig(sr=16000, duration=0.5, n_mels=32, fmin=100, fmax=7500,
                 hop_length=128, n_fft=256, target_frames=48)
 
@@ -138,17 +138,73 @@ def test_pallas_bf16_mode_close(rng):
     np.testing.assert_allclose(got / ref.max(), ref / ref.max(), atol=1e-2)
 
 
+@pytest.mark.parametrize("hop", [160, 96, 320, 512])
+def test_pallas_ct_lane_phase_hops(rng, hop):
+    """hop % 32 == 0 but % 128 != 0 (and the k=1 hop 512/320 family): the
+    lane-phase copy staging must reproduce the XLA path exactly (VERDICT r2
+    item 7 — the librosa-common hop family 160/320/512 and 96)."""
+    cfg = MelConfig(sr=16000, duration=0.6, n_mels=32, fmin=100, fmax=7500,
+                    hop_length=hop, n_fft=2048, target_frames=16)
+    y = (0.1 * rng.standard_normal((2, cfg.num_samples))).astype(np.float32)
+    T = cfg.total_frames
+    got = np.asarray(mel_power_pallas(jnp.asarray(y), cfg, num_frames=T,
+                                      interpret=True, algorithm="ct"))
+    P = stft_power(jnp.asarray(y), n_fft=cfg.n_fft, hop_length=cfg.hop_length,
+                   num_frames=T, backend="matmul")
+    fb = jnp.asarray(mel_filterbank(cfg.sr, cfg.n_fft, cfg.n_mels, cfg.fmin, cfg.fmax))
+    ref = np.asarray(jnp.einsum("btf,fm->btm", P, fb))
+    np.testing.assert_allclose(got / ref.max(), ref / ref.max(), atol=2e-5)
+
+
+def test_pallas_ct_lane_phase_multi_tile(rng):
+    """hop=160 across >1 frame tile: phase copies + shifted row windows."""
+    cfg = MelConfig(sr=16000, duration=2.0, n_mels=32, fmin=100, fmax=7500,
+                    hop_length=160, n_fft=2048, target_frames=160)
+    y = (0.1 * rng.standard_normal((1, cfg.num_samples))).astype(np.float32)
+    T = cfg.total_frames
+    assert T > 128
+    got = np.asarray(mel_power_pallas(jnp.asarray(y), cfg, num_frames=T,
+                                      interpret=True, algorithm="ct"))
+    P = stft_power(jnp.asarray(y), n_fft=cfg.n_fft, hop_length=cfg.hop_length,
+                   num_frames=T, backend="matmul")
+    fb = jnp.asarray(mel_filterbank(cfg.sr, cfg.n_fft, cfg.n_mels, cfg.fmin, cfg.fmax))
+    ref = np.asarray(jnp.einsum("btf,fm->btm", P, fb))
+    np.testing.assert_allclose(got / ref.max(), ref / ref.max(), atol=2e-5)
+
+
 def test_pallas_rejects_unaligned_hop():
-    bad = CFG.replace(hop_length=100)
+    bad = CFG.replace(hop_length=100)  # % 32 and % 16 both fail
     with pytest.raises(NotImplementedError):
         mel_power_pallas(jnp.zeros((1, bad.num_samples)), bad, num_frames=8, interpret=True)
 
 
 def test_log_mel_pallas_backend_falls_back_for_unaligned_hop(rng):
-    """backend='pallas' must be a safe default: hops violating the kernel's
-    lane-alignment contract silently take the XLA matmul path."""
-    bad = CFG.replace(hop_length=96)
+    """backend='pallas' must be a safe default: hops outside both kernel
+    families (e.g. 40: %32 and %16 fail) silently take the XLA matmul path."""
+    from anuraxla.ops.pallas_frontend import pallas_supported
+
+    bad = CFG.replace(hop_length=40)
+    assert not pallas_supported(bad)
+    assert pallas_supported(CFG.replace(hop_length=160))
     y = (0.1 * rng.standard_normal((1, bad.num_samples))).astype(np.float32)
     got = np.asarray(log_mel_batch(jnp.asarray(y), bad, backend="pallas"))
     ref = np.asarray(log_mel_batch(jnp.asarray(y), bad, backend="matmul"))
     np.testing.assert_allclose(got, ref, atol=1e-6)
+
+
+def test_log_mel_pallas_backend_lane_phase_hop_full_frontend(rng):
+    """hop=96 (previously a fallback) now runs the real CT kernel through
+    the full frontend path."""
+    import anuraxla.ops.pallas_frontend as pf
+
+    cfg = MelConfig(sr=16000, duration=0.5, n_mels=32, fmin=100, fmax=7500,
+                    hop_length=96, n_fft=256, target_frames=48)
+    y = (0.1 * rng.standard_normal((1, cfg.num_samples))).astype(np.float32)
+    orig = pf.mel_power_pallas
+    try:
+        pf.mel_power_pallas = lambda *a, **k: orig(*a, **{**k, "interpret": True})
+        got = np.asarray(log_mel_batch(jnp.asarray(y), cfg, backend="pallas"))
+    finally:
+        pf.mel_power_pallas = orig
+    ref = np.asarray(log_mel_batch(jnp.asarray(y), cfg, backend="matmul"))
+    np.testing.assert_allclose(got, ref, atol=1e-4)
