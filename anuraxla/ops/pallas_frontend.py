@@ -364,6 +364,119 @@ def _split_bf16(x):
     return hi, lo
 
 
+def _ct_outer_stage(
+    inner, chi_ref, clo_ref, shi_ref, slo_ref, fbhi_ref, fblo_ref,
+    *, exact: bool, n_half: int
+):
+    """Outer CT stage shared by the stack- and phase-assembled kernels:
+    per-r [T,128]x[128,128] MXU matmuls against twiddle-folded bases, power,
+    merged-filterbank accumulation. ``inner`` is the inner-stage output
+    [(a_re, a_im)] (components may be None = exact zero)."""
+    d = lambda x, y: jnp.dot(x, y, preferred_element_type=jnp.float32)  # noqa: E731
+
+    def dot3h(a_split, b_hi, b_lo):
+        a_hi, a_lo = a_split
+        return d(a_hi, b_hi) + d(a_hi, b_lo) + d(a_lo, b_hi)
+
+    acc = None
+    for r in range(n_half):
+        a_re, a_im = inner[r]  # a_re is never None for real input
+        sl = slice(r * 128, (r + 1) * 128)
+        if exact:
+            ar = _split_bf16(a_re)
+            # x = a @ (C - iS): re = a_re@C + a_im@S, im = a_im@C - a_re@S
+            x_re = dot3h(ar, chi_ref[sl, :], clo_ref[sl, :])
+            x_im = -dot3h(ar, shi_ref[sl, :], slo_ref[sl, :])
+            if a_im is not None:
+                ai = _split_bf16(a_im)
+                x_re = x_re + dot3h(ai, shi_ref[sl, :], slo_ref[sl, :])
+                x_im = x_im + dot3h(ai, chi_ref[sl, :], clo_ref[sl, :])
+            p = x_re * x_re + x_im * x_im  # [T, 128] power at k = q*R + r
+            contrib = dot3h(_split_bf16(p), fbhi_ref[sl, :], fblo_ref[sl, :])
+        else:
+            ar = a_re.astype(jnp.bfloat16)
+            x_re = d(ar, chi_ref[sl, :])
+            x_im = -d(ar, shi_ref[sl, :])
+            if a_im is not None:
+                ai = a_im.astype(jnp.bfloat16)
+                x_re = x_re + d(ai, shi_ref[sl, :])
+                x_im = x_im + d(ai, chi_ref[sl, :])
+            p = x_re * x_re + x_im * x_im
+            contrib = d(p.astype(jnp.bfloat16), fbhi_ref[sl, :])
+        acc = contrib if acc is None else acc + contrib
+    return acc
+
+
+def _mel_power_ctp_kernel(
+    *refs,  # h128*W2 phase-row refs [rb,1,1,128,128], 7 table refs, out
+    n_fft: int,
+    exact: bool,
+    W2: int,
+    h128: int,
+    rb: int,
+):
+    """Phase-transposed CT mel kernel for hop % 128 == 0 — ZERO frame
+    assembly. The host reshapes the padded signal into 128-sample blocks and
+    transposes the block index's residue mod h128 (= hop/128) into its own
+    axis: yt[b, j, m, :] = y[b, (m*h128 + j)*128 : +128]. Frame t's CT block
+    n1 (the [t, n1*128:+128] slice of the would-be frame matrix) is then
+
+        yt[b, n1 % h128, t + n1//h128, :]
+
+    i.e. for a whole 128-frame tile a CONTIGUOUS 128-row sublane window of
+    phase n1 % h128, shifted by q = n1//h128 <= (R-1)/h128 rows. The shift
+    is sub-8-sublane, so each phase's two streamed row-blocks are
+    concatenated once and pltpu.roll'd per distinct q — full-vreg sublane
+    shifts instead of the stack path's per-frame single-sublane copies
+    (which run at ~1/8 VPU efficiency and dominated the kernel: measured
+    ~24 of 27 ms at B=1024). No frames scratch, ~8x less VPU copy traffic.
+
+    Everything downstream (window, radix-4x4 inner stage, twiddle-folded
+    outer MXU stage, merged filterbank) is identical to the stack kernel —
+    see _mel_power_ct_kernel and _ct_tables_folded.
+    """
+    y_refs = refs[: h128 * W2]
+    base = h128 * W2
+    win_ref, chi_ref, clo_ref, shi_ref, slo_ref, fbhi_ref, fblo_ref = refs[
+        base : base + 7
+    ]
+    out_ref = refs[base + 7]
+    R = n_fft // 128
+    n_half = chi_ref.shape[0] // 128
+    qmax = (R - 1) // h128
+    qpad = _round_up(qmax, 8) if qmax > 0 else 0
+
+    for r_i in range(rb):
+        # per-phase extended window [128 + qpad, 128]
+        cats = []
+        for j in range(h128):
+            head = y_refs[j * W2][r_i, 0, 0, :, :]
+            if qpad > 0:
+                tail = y_refs[j * W2 + 1][r_i, 0, 0, :qpad, :]
+                cats.append(jnp.concatenate([head, tail], axis=0))
+            else:
+                cats.append(head)
+        rolled = {}
+        for n1 in range(R):
+            j, q = n1 % h128, n1 // h128
+            if (j, q) not in rolled:
+                # static sub-8-sublane VALUE slice: legal (and exact) on real
+                # Mosaic — it is ref slices that must be 8-aligned. Verified
+                # on-chip vs numpy before adoption.
+                rolled[(j, q)] = cats[j][q : q + 128, :]
+        blocks = [
+            rolled[(n1 % h128, n1 // h128)]
+            * win_ref[0, n1 * 128 : (n1 + 1) * 128][None, :]
+            for n1 in range(R)
+        ]
+        inner = _inner_dft16(blocks) if R == 16 else _inner_dft_generic(blocks, R)
+        acc = _ct_outer_stage(
+            inner, chi_ref, clo_ref, shi_ref, slo_ref, fbhi_ref, fblo_ref,
+            exact=exact, n_half=n_half,
+        )
+        out_ref[r_i, :, :] = acc
+
+
 def _mel_power_ct_kernel(
     *refs,  # k·W row refs [1,1,1,8,s2], 7 table refs, out [1,TILE_T,n_mels], frames scratch
     hop: int,
@@ -529,32 +642,10 @@ def _mel_power_ct_kernel(
                 out_ref[r_i, :, :] = acc[r_i * tile_t : (r_i + 1) * tile_t, :]
         return
 
-    acc = None
-    for r in range(n_half):
-        a_re, a_im = inner[r]  # a_re is never None for real input
-        sl = slice(r * 128, (r + 1) * 128)
-        if exact:
-            ar = _split_bf16(a_re)
-            # x = a @ (C - iS): re = a_re@C + a_im@S, im = a_im@C - a_re@S
-            x_re = dot3h(ar, chi_ref[sl, :], clo_ref[sl, :])
-            x_im = -dot3h(ar, shi_ref[sl, :], slo_ref[sl, :])
-            if a_im is not None:
-                ai = _split_bf16(a_im)
-                x_re = x_re + dot3h(ai, shi_ref[sl, :], slo_ref[sl, :])
-                x_im = x_im + dot3h(ai, chi_ref[sl, :], clo_ref[sl, :])
-            p = x_re * x_re + x_im * x_im  # [T, 128] power at k = q*R + r
-            contrib = dot3h(_split_bf16(p), fbhi_ref[sl, :], fblo_ref[sl, :])
-        else:
-            ar = a_re.astype(jnp.bfloat16)
-            x_re = d(ar, chi_ref[sl, :])
-            x_im = -d(ar, shi_ref[sl, :])
-            if a_im is not None:
-                ai = a_im.astype(jnp.bfloat16)
-                x_re = x_re + d(ai, shi_ref[sl, :])
-                x_im = x_im + d(ai, chi_ref[sl, :])
-            p = x_re * x_re + x_im * x_im
-            contrib = d(p.astype(jnp.bfloat16), fbhi_ref[sl, :])
-        acc = contrib if acc is None else acc + contrib
+    acc = _ct_outer_stage(
+        inner, chi_ref, clo_ref, shi_ref, slo_ref, fbhi_ref, fblo_ref,
+        exact=exact, n_half=n_half,
+    )
     if rb == 1:
         out_ref[0, :, :] = acc
     else:
@@ -589,6 +680,7 @@ def mel_power_pallas(
     tile_t: int | None = None,
     row_block: int | None = None,
     fused_dots: bool | None = None,
+    assembly: str = "auto",
 ) -> jax.Array:
     """[B, num_samples] -> mel power [B, num_frames, n_mels], fused on TPU.
 
@@ -626,6 +718,106 @@ def mel_power_pallas(
         )
     if algorithm == "dense" and not dense_ok:
         raise NotImplementedError(f"dense kernel needs hop % 16 == 0, got {hop}")
+
+    if assembly not in ("auto", "phase", "stack"):
+        raise ValueError(f"assembly must be auto/phase/stack, got {assembly}")
+    use_phase = algorithm == "ct" and (
+        assembly == "phase"
+        or (
+            assembly == "auto"
+            and hop % 128 == 0
+            and not fused_dots
+            and tile_t in (None, TILE_T)
+        )
+    )
+    if use_phase:
+        # phase-transposed zero-assembly variant (see _mel_power_ctp_kernel):
+        # default whenever hop % 128 == 0 — the stack path's in-kernel frame
+        # stacks were the kernel's dominant cost (single-sublane VPU copies)
+        if hop % 128 != 0:
+            raise NotImplementedError(
+                f"assembly='phase' needs hop % 128 == 0, got hop={hop}"
+            )
+        if tile_t not in (None, TILE_T) or fused_dots:
+            raise ValueError(
+                "assembly='phase' supports only tile_t=128 and "
+                "fused_dots=False (pass assembly='stack' to sweep those)"
+            )
+        h128 = hop // 128
+        R = n_fft // 128
+        if row_block is None:
+            rb = 4 if B % 4 == 0 else (2 if B % 2 == 0 else 1)
+        else:
+            rb = row_block
+        qmax = (R - 1) // h128
+        W2 = 1 + (TILE_T - 1 + qmax) // TILE_T  # phase row-blocks per tile
+        n_t_tiles = -(-num_frames // TILE_T)
+        t_pad = n_t_tiles * TILE_T
+        n_mrows = n_t_tiles - 1 + W2
+        M = n_mrows * TILE_T  # 128-sample blocks per phase
+        L_pad = M * h128 * 128
+        pad_l = n_fft // 2
+        pad_r = L_pad - (L + pad_l)
+        if pad_r < 0:  # fast-frontend crops the frame range: drop unread tail
+            y = y[:, : L_pad - pad_l]
+            pad_r = 0
+        B_pad = -(-B // rb) * rb
+        if B_pad != B:
+            y = jnp.pad(y, ((0, B_pad - B), (0, 0)))
+        y_pad = jnp.pad(y, ((0, 0), (pad_l, pad_r)))
+        # yt[b, j, m, :] = y_pad[b, (m*h128 + j)*128 : +128] — one XLA
+        # transpose pass (signal-sized HBM traffic, ~0.4% of the frames
+        # matrix the XLA path materializes)
+        yt = (
+            y_pad.reshape(B_pad, M, h128, 128)
+            .transpose(0, 2, 1, 3)
+            .reshape(B_pad, h128, n_mrows, TILE_T, 128)
+        )
+        (chi, clo), (shi, slo), (fbhi, fblo), win = _ct_tables_folded(
+            cfg.sr, n_fft, cfg.n_mels, cfg.fmin, cfg.fmax
+        )
+        table_args = [
+            jnp.asarray(win), jnp.asarray(chi), jnp.asarray(clo),
+            jnp.asarray(shi), jnp.asarray(slo), jnp.asarray(fbhi),
+            jnp.asarray(fblo),
+        ]
+        n_half = R // 2 + 1
+        kernel = functools.partial(
+            _mel_power_ctp_kernel, n_fft=n_fft, exact=exact, W2=W2,
+            h128=h128, rb=rb,
+        )
+        base_spec = lambda shape: pl.BlockSpec(  # noqa: E731
+            shape, lambda b, tt: (0,) * len(shape), memory_space=pltpu.VMEM
+        )
+        phase_spec = lambda j, i: pl.BlockSpec(  # noqa: E731
+            (rb, 1, 1, TILE_T, 128),
+            lambda b, tt, j=j, i=i: (b, j, tt + i, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        out = pl.pallas_call(
+            kernel,
+            grid=(B_pad // rb, n_t_tiles),
+            in_specs=[phase_spec(j, i) for j in range(h128) for i in range(W2)]
+            + [base_spec(tuple(a.shape)) for a in table_args],
+            out_specs=pl.BlockSpec(
+                (rb, TILE_T, cfg.n_mels),
+                lambda b, tt: (b, tt, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            out_shape=jax.ShapeDtypeStruct(
+                (B_pad, t_pad, cfg.n_mels), jnp.float32
+            ),
+            interpret=interpret,
+            cost_estimate=pl.CostEstimate(
+                flops=2 * B_pad * t_pad
+                * (n_half * 5 * 128 * 128 + n_half * 128 * cfg.n_mels)
+                + 2 * B_pad * t_pad * n_fft * R,
+                bytes_accessed=B_pad * n_t_tiles * h128 * W2 * TILE_T * 128 * 4
+                + B_pad * t_pad * cfg.n_mels * 4,
+                transcendentals=0,
+            ),
+        )(*([yt] * (h128 * W2)), *table_args)
+        return out[:B, :num_frames, :]
 
     if algorithm == "ct":
         # per-step amortization knobs (bench_kernel_variants sweeps these):

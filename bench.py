@@ -25,6 +25,7 @@ import numpy as np
 
 
 BATCH_CANDIDATES = (1024, 512, 256)  # largest that compiles wins
+FETCH_GROUP = 8  # batches per device->host digest fetch (see bench_tpu_pipeline)
 SECONDS_PER_CHUNK = 5.0
 MEASURE_SECONDS = 6.0
 BASELINE_CHUNKS = 6
@@ -121,24 +122,34 @@ def bench_tpu_pipeline(audio: np.ndarray, batch: int, backend: str = "pallas") -
     a = jnp.asarray(audio[:batch])
     float(pipeline(params, a))  # compile + warm
 
-    # 2-deep pipelined serving: dispatch batch i+1 before fetching batch i's
-    # scalar digest, so device compute overlaps the host roundtrip (each
-    # digest is still a real device->host fetch — async dispatch alone would
-    # just queue work and lie)
-    iters = 0
+    # Grouped-fetch pipelined serving: the axon relay's device->host scalar
+    # fetch costs a ~28-30 ms round trip, which caps any per-batch-fetch
+    # loop at ~1000/28 batches/s regardless of kernel speed. Dispatch GROUP
+    # batches whose scalar digests are summed ON DEVICE and fetch once per
+    # group — the fetched value still depends on every batch in the group
+    # (work provably completed), while the RTT amortizes to RTT/GROUP.
+    # Groups are 2-deep pipelined so the fetch overlaps the next group's
+    # compute.
+    def run_group():
+        acc = pipeline(params, a)
+        for _ in range(FETCH_GROUP - 1):
+            acc = acc + pipeline(params, a)
+        return acc
+
+    groups = 0
     t0 = time.perf_counter()
-    prev = pipeline(params, a)
+    prev = run_group()
     while True:
-        cur = pipeline(params, a)
+        cur = run_group()
         float(prev)
         prev = cur
-        iters += 1
-        if time.perf_counter() - t0 >= MEASURE_SECONDS and iters >= 3:
+        groups += 1
+        if time.perf_counter() - t0 >= MEASURE_SECONDS and groups >= 2:
             break
     float(prev)
-    iters += 1
+    groups += 1
     dt = time.perf_counter() - t0
-    return batch * iters / dt
+    return batch * FETCH_GROUP * groups / dt
 
 
 def bench_reference_style_cpu(audio: np.ndarray, n_chunks: int) -> float:

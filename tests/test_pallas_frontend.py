@@ -33,14 +33,17 @@ def test_pallas_mel_power_matches_xla(rng, algorithm):
     np.testing.assert_allclose(got / scale, ref / scale, atol=2e-5)
 
 
-def test_pallas_ct_radix16_path(rng):
-    """n_fft=2048 exercises the radix-4×4 inner stage (R=16)."""
+@pytest.mark.parametrize("assembly", ["phase", "stack"])
+def test_pallas_ct_radix16_path(rng, assembly):
+    """n_fft=2048 exercises the radix-4×4 inner stage (R=16), via both the
+    phase-transposed (zero-assembly) and stack frame-assembly variants."""
     cfg = MelConfig(sr=16000, duration=0.6, n_mels=32, fmin=100, fmax=7500,
                     hop_length=256, n_fft=2048, target_frames=16)
     y = (0.1 * rng.standard_normal((2, cfg.num_samples))).astype(np.float32)
     T = cfg.total_frames
     got = np.asarray(mel_power_pallas(jnp.asarray(y), cfg, num_frames=T,
-                                      interpret=True, algorithm="ct"))
+                                      interpret=True, algorithm="ct",
+                                      assembly=assembly))
     P = stft_power(jnp.asarray(y), n_fft=cfg.n_fft, hop_length=cfg.hop_length,
                    num_frames=T, backend="matmul")
     fb = jnp.asarray(mel_filterbank(cfg.sr, cfg.n_fft, cfg.n_mels, cfg.fmin, cfg.fmax))
@@ -65,7 +68,8 @@ def test_pallas_ct_radix_generality(rng, n_fft):
     np.testing.assert_allclose(got / ref.max(), ref / ref.max(), atol=2e-5)
 
 
-def test_pallas_ct_multi_tile(rng):
+@pytest.mark.parametrize("assembly", ["phase", "stack"])
+def test_pallas_ct_multi_tile(rng, assembly):
     """More frames than one TILE_T tile: exercises the overlapping
     stride-row block windows (the shifted row index maps) and frames that
     cross a stride-row boundary. Regression for a block-unit-vs-element-unit
@@ -76,12 +80,39 @@ def test_pallas_ct_multi_tile(rng):
     T = cfg.total_frames
     assert T > 128  # must span >1 frame tile for this test to mean anything
     got = np.asarray(mel_power_pallas(jnp.asarray(y), cfg, num_frames=T,
-                                      interpret=True, algorithm="ct"))
+                                      interpret=True, algorithm="ct",
+                                      assembly=assembly))
     P = stft_power(jnp.asarray(y), n_fft=cfg.n_fft, hop_length=cfg.hop_length,
                    num_frames=T, backend="matmul")
     fb = jnp.asarray(mel_filterbank(cfg.sr, cfg.n_fft, cfg.n_mels, cfg.fmin, cfg.fmax))
     ref = np.asarray(jnp.einsum("btf,fm->btm", P, fb))
     np.testing.assert_allclose(got / ref.max(), ref / ref.max(), atol=2e-5)
+
+
+def test_pallas_phase_assembly_edges(rng):
+    """Phase-transposed variant edge cases: odd batch (row-block padding),
+    cropped num_frames (fast-frontend), and a deep q-shift (hop = 128 with
+    n_fft = 2048 -> h128 = 1, qmax = 15 crossing the 8-sublane pad)."""
+    cfg = MelConfig(sr=48000, duration=2.0, n_mels=64, fmin=150, fmax=15000,
+                    hop_length=384, n_fft=2048, target_frames=192)
+    y = (0.1 * rng.standard_normal((5, cfg.num_samples))).astype(np.float32)
+    got = np.asarray(mel_power_pallas(jnp.asarray(y), cfg, num_frames=192,
+                                      interpret=True, assembly="phase"))
+    ref = np.asarray(mel_power_pallas(jnp.asarray(y), cfg, num_frames=192,
+                                      interpret=True, assembly="stack"))
+    np.testing.assert_allclose(got / ref.max(), ref / ref.max(), atol=2e-5)
+
+    deep = MelConfig(sr=16000, duration=1.2, n_mels=32, fmin=100, fmax=7500,
+                     hop_length=128, n_fft=2048, target_frames=140)
+    y2 = (0.1 * rng.standard_normal((2, deep.num_samples))).astype(np.float32)
+    T = deep.total_frames
+    got2 = np.asarray(mel_power_pallas(jnp.asarray(y2), deep, num_frames=T,
+                                       interpret=True, assembly="phase"))
+    P = stft_power(jnp.asarray(y2), n_fft=deep.n_fft, hop_length=deep.hop_length,
+                   num_frames=T, backend="matmul")
+    fb = jnp.asarray(mel_filterbank(deep.sr, deep.n_fft, deep.n_mels, deep.fmin, deep.fmax))
+    ref2 = np.asarray(jnp.einsum("btf,fm->btm", P, fb))
+    np.testing.assert_allclose(got2 / ref2.max(), ref2 / ref2.max(), atol=2e-5)
 
 
 def test_pallas_ct_fast_frontend_long_clip(rng):

@@ -58,6 +58,14 @@ got_bf16 = np.asarray(crop_or_pad_time(standardize(power_to_db(S, amin=cfg.amin,
 err_bf16 = np.abs(got_bf16 - ref).max()
 assert err_bf16 < 6.5e-2, f"pallas-ct bf16 vs matmul: {err_bf16}"
 
+# assembly variants: the phase-transposed (default for hop%128==0) and
+# stack frame-assembly paths must agree on the chip (real Mosaic lowering
+# of the sub-8-sublane value slices — measured bitwise-identical at adoption)
+S_ph = np.asarray(pf.mel_power_pallas(y, cfg, num_frames=T, exact=True, assembly="phase"))
+S_st = np.asarray(pf.mel_power_pallas(y, cfg, num_frames=T, exact=True, assembly="stack"))
+err_asm = np.abs(S_ph - S_st).max() / np.abs(S_st).max()
+assert err_asm < 1e-5, f"phase vs stack assembly: {err_asm}"
+
 # dense kernel exact
 S = pf.mel_power_pallas(y, cfg, num_frames=T, algorithm="dense")
 got_dense = np.asarray(crop_or_pad_time(standardize(power_to_db(S, amin=cfg.amin, top_db=cfg.top_db)), cfg.target_frames))
