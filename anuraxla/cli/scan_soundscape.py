@@ -62,6 +62,10 @@ def main() -> None:
         mel=mel_from_args(args, duration=5.0),
         encoder_dir=Path(args.encoder) if args.encoder else None,
         project_root=project_root,
+        # per-window RMS runs fused inside the device mel op instead of in
+        # the (single-core) host prefetch thread — same math, see
+        # ops.frontend.rms_scale_batch
+        normalize_on_device=not args.no_normalize,
         **session_kwargs(args),
     )
 

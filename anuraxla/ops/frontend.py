@@ -57,6 +57,33 @@ def rms_normalize_batch(
     return _rms_normalize_impl(jnp, y, target_rms, rms_min, eps)
 
 
+def rms_scale_batch(
+    y: jax.Array,
+    *,
+    target_rms: float = RMS_TARGET,
+    rms_min: float = RMS_SILENCE_GATE,
+    eps: float = RMS_EPS,
+) -> jax.Array:
+    """Per-row fused-normalization scale for ``log_mel_batch(rms_scale=...)``.
+
+    Returns [B] with s > 0 for rows to be ``clip(y*s, -1, 1)``'d downstream
+    and s = -1 marking silent rows (rms < rms_min) that pass through raw —
+    together exactly ``rms_normalize_batch``, but without materializing the
+    normalized signal: the reduction reads y once, and the scale+clip is
+    folded into the Pallas mel kernel's VMEM tile (or applied inline by the
+    XLA path), saving a signal-sized HBM write + re-read per batch.
+    """
+    rms = jnp.sqrt(jnp.mean(y * y, axis=-1))
+    return jnp.where(rms >= rms_min, target_rms / (rms + eps), -1.0)
+
+
+def apply_rms_scale(y: jax.Array, scale: jax.Array) -> jax.Array:
+    """Materialize ``rms_scale_batch``'s contract on a [B, L] signal (the
+    non-Pallas twin of the in-kernel fusion; s <= 0 = silence sentinel)."""
+    s = scale[:, None]
+    return jnp.where(s > 0, jnp.clip(y * s, -1.0, 1.0), y)
+
+
 def rms_normalize_np(
     y,
     *,
@@ -78,6 +105,7 @@ def log_mel_batch(
     *,
     parity: bool = True,
     backend: str = "matmul",
+    rms_scale: jax.Array | None = None,
 ) -> jax.Array:
     """[B, num_samples] float32 waveforms -> [B, target_frames, n_mels] log-mels.
 
@@ -85,6 +113,12 @@ def log_mel_batch(
     loader does this; it is a data-layout step, not math). Output is
     time-major [T, M] — the encoder input layout (reference feeds [B,1,T,M],
     ``map_detector_core.py:268``).
+
+    ``rms_scale`` ([B], from :func:`rms_scale_batch`): fuses the reference's
+    RMS normalization into this call — equals
+    ``log_mel_batch(rms_normalize_batch(y)[0], ...)`` without the normalized
+    signal's HBM round-trip (on the Pallas backends the scale+clip runs
+    inside the mel kernel's VMEM tile).
     """
     if y.ndim == 1:
         y = y[None]
@@ -116,11 +150,14 @@ def log_mel_batch(
         from anuraxla.ops.pallas_frontend import mel_power_pallas
 
         S = mel_power_pallas(
-            y, cfg, num_frames=first + num_frames, exact=(backend == "pallas")
+            y, cfg, num_frames=first + num_frames,
+            exact=(backend == "pallas"), rms_scale=rms_scale,
         )
         if first:
             S = jax.lax.slice_in_dim(S, first, first + num_frames, axis=1)
     else:
+        if rms_scale is not None:
+            y = apply_rms_scale(y, rms_scale)
         P = stft_power(
             y,
             n_fft=cfg.n_fft,

@@ -408,35 +408,43 @@ def _ct_outer_stage(
 
 
 def _mel_power_ctp_kernel(
-    *refs,  # h128*W2 phase-row refs [rb,1,1,128,128], 7 table refs, out
+    *refs,  # W2 hop-row refs [rb,1,*,h128*128], [scale], 7 table refs, out
     n_fft: int,
     exact: bool,
     W2: int,
     h128: int,
     rb: int,
+    with_scale: bool,
 ):
-    """Phase-transposed CT mel kernel for hop % 128 == 0 — ZERO frame
-    assembly. The host reshapes the padded signal into 128-sample blocks and
-    transposes the block index's residue mod h128 (= hop/128) into its own
-    axis: yt[b, j, m, :] = y[b, (m*h128 + j)*128 : +128]. Frame t's CT block
-    n1 (the [t, n1*128:+128] slice of the would-be frame matrix) is then
+    """Phase-sliced CT mel kernel for hop % 128 == 0 — ZERO frame assembly
+    and ZERO host staging. The padded signal is VIEWED (free reshape) as
+    hop-rows of TILE_T frames: yv[b, m, t, :] = y[b, ((m*TILE_T + t)*hop)
+    : +hop], so frame F's CT block n1 (the [F, n1*128:+128] slice of the
+    would-be frame matrix) is, with q = n1 // h128 and j = n1 % h128
+    (h128 = hop/128, n1 = q*h128 + j):
 
-        yt[b, n1 % h128, t + n1//h128, :]
+        yv[b, m, F + q, j*128 : (j+1)*128]
 
-    i.e. for a whole 128-frame tile a CONTIGUOUS 128-row sublane window of
-    phase n1 % h128, shifted by q = n1//h128 <= (R-1)/h128 rows. The shift
-    is sub-8-sublane, so each phase's two streamed row-blocks are
-    concatenated once and pltpu.roll'd per distinct q — full-vreg sublane
-    shifts instead of the stack path's per-frame single-sublane copies
-    (which run at ~1/8 VPU efficiency and dominated the kernel: measured
-    ~24 of 27 ms at B=1024). No frames scratch, ~8x less VPU copy traffic.
+    i.e. for a whole TILE_T-frame tile a CONTIGUOUS TILE_T-row window of
+    the streamed block, shifted down by q <= (R-1)/h128 sublanes and
+    lane-offset by j*128. Both are static VALUE slices — the sub-8-sublane
+    shift is legal (and exact) on real Mosaic; it is ref slices that must
+    be 8-aligned (verified on-chip vs numpy before adoption). This replaces
+    the stack kernel's per-frame single-sublane copies, which run at ~1/8
+    VPU efficiency and dominated the kernel (~24 of 27 ms at B=1024).
+    No frames scratch, no host pre-transpose pass.
 
     Everything downstream (window, radix-4x4 inner stage, twiddle-folded
     outer MXU stage, merged filterbank) is identical to the stack kernel —
     see _mel_power_ct_kernel and _ct_tables_folded.
     """
-    y_refs = refs[: h128 * W2]
-    base = h128 * W2
+    y_refs = refs[:W2]
+    base = W2
+    if with_scale:
+        # SMEM [B_pad, 1] (FULL array: Mosaic rejects partial sub-(8,128)
+        # blocks even in SMEM) — rows picked via program_id below
+        scale_ref = refs[base]
+        base += 1
     win_ref, chi_ref, clo_ref, shi_ref, slo_ref, fbhi_ref, fblo_ref = refs[
         base : base + 7
     ]
@@ -447,25 +455,28 @@ def _mel_power_ctp_kernel(
     qpad = _round_up(qmax, 8) if qmax > 0 else 0
 
     for r_i in range(rb):
-        # per-phase extended window [128 + qpad, 128]
-        cats = []
-        for j in range(h128):
-            head = y_refs[j * W2][r_i, 0, 0, :, :]
-            if qpad > 0:
-                tail = y_refs[j * W2 + 1][r_i, 0, 0, :qpad, :]
-                cats.append(jnp.concatenate([head, tail], axis=0))
-            else:
-                cats.append(head)
-        rolled = {}
-        for n1 in range(R):
-            j, q = n1 % h128, n1 // h128
-            if (j, q) not in rolled:
-                # static sub-8-sublane VALUE slice: legal (and exact) on real
-                # Mosaic — it is ref slices that must be 8-aligned. Verified
-                # on-chip vs numpy before adoption.
-                rolled[(j, q)] = cats[j][q : q + 128, :]
+        head = y_refs[0][r_i, 0, :, :]  # [TILE_T, h128*128]
+        if qpad > 0:
+            # tail ref streams only the qpad rows actually read (block dim
+            # 2 sized qpad with index 0 = rows [0, qpad) of tile tt+1) —
+            # read amplification 1 + qpad/TILE_T instead of 2
+            tail = y_refs[1][r_i, 0, :, :]
+            cat = jnp.concatenate([head, tail], axis=0)
+        else:
+            cat = head
+        if with_scale:
+            # fused RMS normalization, reference order: clip(y*s, -1, 1)
+            # BEFORE windowing (ref:00_normalize_dataset_rms.py:29-38) —
+            # folding s through the quadratic power would skip the clip.
+            # s <= 0 is the silence-gate sentinel: the row passes through
+            # raw (no scale, no clip), matching rms_normalize_batch
+            s = scale_ref[pl.program_id(0) * rb + r_i, 0]
+            cat = jnp.where(s > 0, jnp.clip(cat * s, -1.0, 1.0), cat)
         blocks = [
-            rolled[(n1 % h128, n1 // h128)]
+            cat[
+                (n1 // h128) : (n1 // h128) + head.shape[0],
+                (n1 % h128) * 128 : (n1 % h128 + 1) * 128,
+            ]
             * win_ref[0, n1 * 128 : (n1 + 1) * 128][None, :]
             for n1 in range(R)
         ]
@@ -681,6 +692,7 @@ def mel_power_pallas(
     row_block: int | None = None,
     fused_dots: bool | None = None,
     assembly: str = "auto",
+    rms_scale: jax.Array | None = None,
 ) -> jax.Array:
     """[B, num_samples] -> mel power [B, num_frames, n_mels], fused on TPU.
 
@@ -693,6 +705,12 @@ def mel_power_pallas(
     ``algorithm``: "ct" (in-VMEM Cooley–Tukey, ~7× fewer MXU MACs — the
     default whenever n_fft is a ≥2 multiple of 128), "dense" (windowed-DFT
     bases, the reference-grade fallback), or "auto".
+
+    ``rms_scale`` ([B], see frontend.rms_scale_batch): fused RMS
+    normalization — rows with s > 0 are clip(y*s, -1, 1)'d before
+    windowing, s <= 0 rows pass through raw (the silence gate). On the
+    phase kernel this happens in the VMEM tile; other paths apply it
+    inline before framing.
     """
     import math as _math
 
@@ -730,6 +748,13 @@ def mel_power_pallas(
             and tile_t in (None, TILE_T)
         )
     )
+    if rms_scale is not None and not use_phase:
+        # the fused-scale contract is wired only into the phase kernel; the
+        # stack/dense paths apply the identical math up front (same where/
+        # clip order as rms_normalize_batch; s <= 0 = silence sentinel)
+        s = rms_scale[:, None]
+        y = jnp.where(s > 0, jnp.clip(y * s, -1.0, 1.0), y)
+
     if use_phase:
         # phase-transposed zero-assembly variant (see _mel_power_ctp_kernel):
         # default whenever hop % 128 == 0 — the stack path's in-kernel frame
@@ -754,8 +779,7 @@ def mel_power_pallas(
         n_t_tiles = -(-num_frames // TILE_T)
         t_pad = n_t_tiles * TILE_T
         n_mrows = n_t_tiles - 1 + W2
-        M = n_mrows * TILE_T  # 128-sample blocks per phase
-        L_pad = M * h128 * 128
+        L_pad = n_mrows * TILE_T * hop
         pad_l = n_fft // 2
         pad_r = L_pad - (L + pad_l)
         if pad_r < 0:  # fast-frontend crops the frame range: drop unread tail
@@ -764,15 +788,13 @@ def mel_power_pallas(
         B_pad = -(-B // rb) * rb
         if B_pad != B:
             y = jnp.pad(y, ((0, B_pad - B), (0, 0)))
+            if rms_scale is not None:
+                rms_scale = jnp.pad(rms_scale, ((0, B_pad - B),))
         y_pad = jnp.pad(y, ((0, 0), (pad_l, pad_r)))
-        # yt[b, j, m, :] = y_pad[b, (m*h128 + j)*128 : +128] — one XLA
-        # transpose pass (signal-sized HBM traffic, ~0.4% of the frames
+        # zero-copy view: hop-rows of TILE_T frames — the pad above is the
+        # ONLY host-side data movement (signal-sized; ~0.4% of the frames
         # matrix the XLA path materializes)
-        yt = (
-            y_pad.reshape(B_pad, M, h128, 128)
-            .transpose(0, 2, 1, 3)
-            .reshape(B_pad, h128, n_mrows, TILE_T, 128)
-        )
+        yv = y_pad.reshape(B_pad, n_mrows, TILE_T, h128 * 128)
         (chi, clo), (shi, slo), (fbhi, fblo), win = _ct_tables_folded(
             cfg.sr, n_fft, cfg.n_mels, cfg.fmin, cfg.fmax
         )
@@ -782,22 +804,42 @@ def mel_power_pallas(
             jnp.asarray(fblo),
         ]
         n_half = R // 2 + 1
+        assert W2 <= 2, f"phase kernel assumes qmax < TILE_T, got qmax={qmax}"
+        qpad = _round_up(qmax, 8) if qmax > 0 else 0
         kernel = functools.partial(
             _mel_power_ctp_kernel, n_fft=n_fft, exact=exact, W2=W2,
-            h128=h128, rb=rb,
+            h128=h128, rb=rb, with_scale=rms_scale is not None,
         )
         base_spec = lambda shape: pl.BlockSpec(  # noqa: E731
             shape, lambda b, tt: (0,) * len(shape), memory_space=pltpu.VMEM
         )
-        phase_spec = lambda j, i: pl.BlockSpec(  # noqa: E731
-            (rb, 1, 1, TILE_T, 128),
-            lambda b, tt, j=j, i=i: (b, j, tt + i, 0, 0),
+        # head: the tile's own TILE_T hop-rows; tail: only the qpad rows of
+        # tile tt+1 actually read by the q-shift (block dim 2 sized qpad,
+        # index 0) — read amplification 1 + qpad/TILE_T instead of 2
+        head_spec = pl.BlockSpec(
+            (rb, 1, TILE_T, h128 * 128),
+            lambda b, tt: (b, tt, 0, 0),
             memory_space=pltpu.VMEM,
         )
+        tail_spec = pl.BlockSpec(
+            (rb, 1, qpad, h128 * 128),
+            lambda b, tt: (b, tt + 1, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        in_specs = [head_spec] + ([tail_spec] if W2 == 2 else [])
+        operands = [yv] * W2
+        if rms_scale is not None:
+            in_specs.append(
+                pl.BlockSpec(
+                    (B_pad, 1), lambda b, tt: (0, 0),
+                    memory_space=pltpu.SMEM,
+                )
+            )
+            operands.append(rms_scale[:, None].astype(jnp.float32))
         out = pl.pallas_call(
             kernel,
             grid=(B_pad // rb, n_t_tiles),
-            in_specs=[phase_spec(j, i) for j in range(h128) for i in range(W2)]
+            in_specs=in_specs
             + [base_spec(tuple(a.shape)) for a in table_args],
             out_specs=pl.BlockSpec(
                 (rb, TILE_T, cfg.n_mels),
@@ -812,11 +854,12 @@ def mel_power_pallas(
                 flops=2 * B_pad * t_pad
                 * (n_half * 5 * 128 * 128 + n_half * 128 * cfg.n_mels)
                 + 2 * B_pad * t_pad * n_fft * R,
-                bytes_accessed=B_pad * n_t_tiles * h128 * W2 * TILE_T * 128 * 4
+                bytes_accessed=B_pad * n_t_tiles * (TILE_T + qpad)
+                * h128 * 128 * 4
                 + B_pad * t_pad * cfg.n_mels * 4,
                 transcendentals=0,
             ),
-        )(*([yt] * (h128 * W2)), *table_args)
+        )(*operands, *table_args)
         return out[:B, :num_frames, :]
 
     if algorithm == "ct":

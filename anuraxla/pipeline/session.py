@@ -39,6 +39,7 @@ class EncoderSession:
     transfer_int16: bool = False  # ship PCM16 over the host->device link
     data_parallel: bool = False  # shard batches over all local devices
     quantize: bool = False  # int8 encoder contractions (models.quant)
+    normalize_on_device: bool = False  # fuse RMS normalization into the mel op
     num_threads: int = 16
     _enc: object = None
     _params: object = None
@@ -58,6 +59,24 @@ class EncoderSession:
         self._fingerprint = None  # computed lazily (hashes the params once)
         mel_cfg, parity, backend = self.mel, self.parity, self.backend
         i16 = self.transfer_int16
+        norm_dev = self.normalize_on_device
+
+        def to_mels(audio):
+            if i16:
+                audio = audio.astype(jnp.float32) / 32768.0
+            if norm_dev:
+                # fused RMS normalization (ops.frontend.rms_scale_batch):
+                # same math as the host rms_normalize path, but the scale+clip
+                # is applied inside the mel op — raw windows ship to the
+                # device and the normalized signal never round-trips HBM
+                from anuraxla.ops.frontend import rms_scale_batch
+
+                scale = rms_scale_batch(audio)
+            else:
+                scale = None
+            return log_mel_batch(
+                audio, mel_cfg, parity=parity, backend=backend, rms_scale=scale
+            )
 
         if self.quantize:
             # int8 serving: weights quantized once here; activation scales
@@ -68,17 +87,13 @@ class EncoderSession:
             self._params = quantize_encoder(params, cfg)
 
             def compute(params, audio):
-                if i16:
-                    audio = audio.astype(jnp.float32) / 32768.0
-                mels = log_mel_batch(audio, mel_cfg, parity=parity, backend=backend)
+                mels = to_mels(audio)
                 return encoder_apply_quantized(params, cfg, mel_to_encoder_input(mels))["mu"]
 
         else:
 
             def compute(params, audio):
-                if i16:
-                    audio = audio.astype(jnp.float32) / 32768.0
-                mels = log_mel_batch(audio, mel_cfg, parity=parity, backend=backend)
+                mels = to_mels(audio)
                 out = enc.apply(params, mel_to_encoder_input(mels))
                 return out["mu"]  # deterministic latent (reference uses z/mu)
 
@@ -234,6 +249,10 @@ def session_fingerprint(session: EncoderSession) -> str:
         # int16 link transfer quantizes float/resampled/mixdown sources — it
         # changes latents, so it must split the cache key
         + ("_i16" if getattr(session, "transfer_int16", False) else "")
+        # device-fused RMS normalization: compute() normalizes raw input
+        # itself, so the same file yields different latents than a session
+        # that expects pre-normalized chunks — the key must split
+        + ("_ndev" if getattr(session, "normalize_on_device", False) else "")
     )
     session._fingerprint = fp
     return fp

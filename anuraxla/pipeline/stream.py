@@ -162,7 +162,17 @@ def scan_soundscape(
 
     # three-way overlap, same structure as EncoderSession.encode_paths:
     # prefetch thread extracts+normalizes window batch i+1, the device runs
-    # encode+decide for batch i, the host fetches batch i-1's decisions
+    # encode+decide for batch i, the host fetches batch i-1's decisions.
+    # When the session fuses normalization into the mel op
+    # (normalize_on_device), the prefetch thread only extracts — the
+    # per-window RMS runs on device, freeing this (single-core) host.
+    host_norm = normalize and not getattr(session, "normalize_on_device", False)
+    if not normalize and getattr(session, "normalize_on_device", False):
+        raise ValueError(
+            "normalize=False but the session was built with "
+            "normalize_on_device=True — its compute() would normalize anyway; "
+            "build the session without normalize_on_device instead"
+        )
     pending = None
     with stage_timer("scan", log=None) as t:
         for batch, starts, n_valid in window_batches(
@@ -171,7 +181,7 @@ def scan_soundscape(
             hop_samples=hop_samples,
             batch_size=session.batch_size,
             target_sr=mel.sr,
-            normalize=normalize,
+            normalize=host_norm,
         ):
             res = decide(session._dispatch(batch))
             if pending is not None:

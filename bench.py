@@ -96,7 +96,7 @@ def bench_tpu_pipeline(audio: np.ndarray, batch: int, backend: str = "pallas") -
     from anuraxla.constants import DEFAULT_MEL
     from anuraxla.detect.radial import radial_decide
     from anuraxla.models.vae import VAEConfig, init_encoder
-    from anuraxla.ops.frontend import log_mel_batch, mel_to_encoder_input, rms_normalize_batch
+    from anuraxla.ops.frontend import log_mel_batch, mel_to_encoder_input, rms_scale_batch
 
     vcfg = VAEConfig()
     enc, params = init_encoder(vcfg, seed=0)
@@ -108,11 +108,15 @@ def bench_tpu_pipeline(audio: np.ndarray, batch: int, backend: str = "pallas") -
 
     @jax.jit
     def pipeline(params, audio):
-        y, _ = rms_normalize_batch(audio)
+        # RMS normalization fused into the mel op: the [B] scale is the only
+        # thing computed up front; the scale+clip runs inside the Pallas
+        # kernel's VMEM tile (no normalized-signal HBM round trip).
         # backend="pallas" = the fused in-VMEM Cooley–Tukey mel kernel in
         # exact (true-f32) mode — same librosa-parity math as "matmul"
         # (agreement ~3e-7 rel; decision-identical), ~2.8x faster end to end
-        mels = log_mel_batch(y, DEFAULT_MEL, parity=True, backend=backend)
+        scale = rms_scale_batch(audio)
+        mels = log_mel_batch(audio, DEFAULT_MEL, parity=True, backend=backend,
+                             rms_scale=scale)
         z = enc.apply(params, mel_to_encoder_input(mels))["mu"]
         detected, winner, best = radial_decide(z, centroids, thresholds, ranks)
         # scalar digest so each timed iteration does a real device->host

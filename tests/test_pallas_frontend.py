@@ -223,6 +223,45 @@ def test_log_mel_pallas_backend_falls_back_for_unaligned_hop(rng):
     np.testing.assert_allclose(got, ref, atol=1e-6)
 
 
+@pytest.mark.parametrize("assembly", ["phase", "stack"])
+def test_pallas_fused_rms_scale(rng, assembly):
+    """rms_scale fusion (in-VMEM scale+clip on the phase kernel, inline
+    pre-apply on the stack path) must equal normalize-then-mel exactly —
+    including the silence-gate pass-through row and a clipping-hot row."""
+    from anuraxla.ops.frontend import rms_normalize_batch, rms_scale_batch
+
+    cfg = MelConfig(sr=48000, duration=1.0, n_mels=64, fmin=150, fmax=15000,
+                    hop_length=384, n_fft=2048, target_frames=96)
+    y = (0.1 * rng.standard_normal((4, cfg.num_samples))).astype(np.float32)
+    y[1] *= 1e-5          # below RMS_SILENCE_GATE: sentinel pass-through
+    y[2] *= 30.0          # scale pushes samples past the [-1, 1] clip
+    T = cfg.total_frames
+    yj = jnp.asarray(y)
+    scale = rms_scale_batch(yj)
+    assert float(scale[1]) < 0  # the silent row really takes the sentinel
+    got = np.asarray(mel_power_pallas(yj, cfg, num_frames=T, interpret=True,
+                                      algorithm="ct", assembly=assembly,
+                                      rms_scale=scale))
+    y_norm, _ = rms_normalize_batch(yj)
+    ref = np.asarray(mel_power_pallas(y_norm, cfg, num_frames=T,
+                                      interpret=True, algorithm="ct",
+                                      assembly=assembly))
+    np.testing.assert_allclose(got / ref.max(), ref / ref.max(), atol=2e-5)
+
+
+def test_log_mel_fused_rms_scale_matmul(rng):
+    """log_mel_batch(rms_scale=...) on the XLA backend equals the two-step
+    normalize -> log_mel chain bit-for-bit."""
+    from anuraxla.ops.frontend import rms_normalize_batch, rms_scale_batch
+
+    y = (0.3 * rng.standard_normal((3, CFG.num_samples))).astype(np.float32)
+    y[1] *= 1e-5
+    yj = jnp.asarray(y)
+    got = np.asarray(log_mel_batch(yj, CFG, rms_scale=rms_scale_batch(yj)))
+    ref = np.asarray(log_mel_batch(rms_normalize_batch(yj)[0], CFG))
+    np.testing.assert_allclose(got, ref, atol=0)
+
+
 def test_log_mel_pallas_backend_lane_phase_hop_full_frontend(rng):
     """hop=96 (previously a fallback) now runs the real CT kernel through
     the full frontend path."""

@@ -148,3 +148,23 @@ def test_quantized_serving_session(tmp_path, rng):
     assert (num / den).min() > 0.95
     fp_a, fp_b = session_fingerprint(s_f32), session_fingerprint(s_q8)
     assert fp_a != fp_b and fp_b.endswith("_q8")
+
+
+def test_normalize_on_device_matches_host_normalization(tmp_path, rng):
+    """normalize_on_device=True on RAW audio == host rms_normalize then a
+    plain session, and the cache fingerprint splits the two modes."""
+    from anuraxla.ops.frontend import rms_normalize_batch
+    from anuraxla.pipeline.session import session_fingerprint
+
+    raw = (0.03 * rng.standard_normal((4, MEL.num_samples))).astype(np.float32)
+    raw[2] *= 1e-6  # silent row: passes through un-normalized (gate)
+    y_host = np.asarray(rms_normalize_batch(raw)[0])
+
+    s_plain = make_session(tmp_path)
+    s_fused = make_session(tmp_path, normalize_on_device=True)
+    z_host = s_plain.encode_array(y_host)
+    z_fused = s_fused.encode_array(raw)
+    np.testing.assert_allclose(z_fused, z_host, atol=2e-5)
+
+    fp_a, fp_b = session_fingerprint(s_plain), session_fingerprint(s_fused)
+    assert fp_a != fp_b and fp_b.endswith("_ndev")

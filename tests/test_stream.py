@@ -109,3 +109,57 @@ def test_scan_soundscape_finds_planted_calls(tmp_path, rng):
     assert len(wavs_out) >= 1
     y_out, sr_out = read_wav(wavs_out[0])
     assert sr_out == SR and y_out.shape[0] == SR  # 1 s windows
+
+
+def test_scan_device_fused_normalization_matches_host(tmp_path, rng):
+    """scan with a normalize_on_device session == scan with host-side
+    normalization: identical detections (the fused per-window RMS is the
+    same math run inside the device mel op)."""
+    from anuraxla.cli.make_synth_data import make_tree, synth_call
+    from anuraxla.constants import MelConfig, SPECIES
+    from anuraxla.models.checkpoint import save_encoder
+    from anuraxla.models.vae import VAEConfig, init_encoder
+    from anuraxla.pipeline.fit import fit_radial_tree
+    from anuraxla.pipeline.session import EncoderSession
+    from anuraxla.pipeline.stream import scan_soundscape
+
+    SR, SEC, TF, NM = 16000, 1.0, 48, 32
+    mel = MelConfig(sr=SR, duration=SEC, target_frames=TF, n_mels=NM, fmax=7500)
+    root = tmp_path
+    make_tree(root / "latent_space_exploration", sr=SR, seconds=SEC, per_species=3, seed=5)
+    (root / "config.json").write_text(json.dumps({"species": list(SPECIES), "chunk_seconds": SEC}))
+    vcfg = VAEConfig(latent_dim=16, widths=(8, 16), dense_width=32, groups=4, input_hw=(TF, NM))
+    enc, params = init_encoder(vcfg, seed=7)
+    save_encoder(root / "models" / "anuraxla_vae_encoder_v0", vcfg, params)
+
+    s_host = EncoderSession(mel=mel, batch_size=8, project_root=root).load()
+    s_dev = EncoderSession(mel=mel, batch_size=8, project_root=root,
+                           normalize_on_device=True).load()
+    cfg = json.loads((root / "config.json").read_text())
+    fit_radial_tree(
+        cfg_path=root / "config.json", cfg=cfg,
+        chunks_dir=root / "latent_space_exploration" / "train_chunks",
+        session=s_host, q_in=0.98, q_out=0.10, cache=False, cache_dir=None,
+        max_per_class=0, seed=1, log=lambda *a: None,
+    )
+
+    n = SR * 8
+    y = (0.001 * rng.standard_normal(n)).astype(np.float32)
+    y[3 * SR : 5 * SR] += synth_call(np.random.default_rng(3), SR, 2.0, 400.0, 4.0)
+    wav = tmp_path / "fused.wav"
+    write_wav(wav, y, SR, subtype="PCM_16")
+
+    cfg = json.loads((root / "config.json").read_text())
+    d_host = scan_soundscape(wav, s_host, detector="radial", config=cfg,
+                             hop_seconds=1.0, log=lambda *a: None)
+    d_dev = scan_soundscape(wav, s_dev, detector="radial", config=cfg,
+                            hop_seconds=1.0, log=lambda *a: None)
+    assert [(d.detected, d.species) for d in d_host] == \
+           [(d.detected, d.species) for d in d_dev]
+    np.testing.assert_allclose([d.score for d in d_host],
+                               [d.score for d in d_dev], rtol=1e-4, atol=1e-5)
+
+    # normalize=False on a fused session is a contract violation, not silence
+    with pytest.raises(ValueError, match="normalize_on_device"):
+        scan_soundscape(wav, s_dev, detector="radial", config=cfg,
+                        normalize=False, log=lambda *a: None)

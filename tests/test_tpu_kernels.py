@@ -66,6 +66,17 @@ S_st = np.asarray(pf.mel_power_pallas(y, cfg, num_frames=T, exact=True, assembly
 err_asm = np.abs(S_ph - S_st).max() / np.abs(S_st).max()
 assert err_asm < 1e-5, f"phase vs stack assembly: {err_asm}"
 
+# fused RMS scale: the SMEM per-row gain + in-VMEM scale/clip (phase
+# kernel) must equal normalize-then-mel on the real chip, including the
+# silence-gate sentinel row
+from anuraxla.ops.frontend import rms_normalize_batch, rms_scale_batch
+y_raw = (y * 0.3).at[1].multiply(1e-4)
+sc = rms_scale_batch(y_raw)
+S_f = np.asarray(pf.mel_power_pallas(y_raw, cfg, num_frames=T, exact=True, rms_scale=sc))
+S_n = np.asarray(pf.mel_power_pallas(rms_normalize_batch(y_raw)[0], cfg, num_frames=T, exact=True))
+err_sc = np.abs(S_f - S_n).max() / np.abs(S_n).max()
+assert err_sc < 1e-5, f"fused rms_scale vs normalize-then-mel: {err_sc}"
+
 # dense kernel exact
 S = pf.mel_power_pallas(y, cfg, num_frames=T, algorithm="dense")
 got_dense = np.asarray(crop_or_pad_time(standardize(power_to_db(S, amin=cfg.amin, top_db=cfg.top_db)), cfg.target_frames))
@@ -97,7 +108,7 @@ print(f"OK exact={err_exact:.2e} bf16={err_bf16:.2e} dense={err_dense:.2e}")
 def test_pallas_kernels_on_tpu():
     r = subprocess.run(
         [sys.executable, "-c", _SCRIPT],
-        capture_output=True, text=True, timeout=560,
+        capture_output=True, text=True, timeout=1140,
         env={**os.environ, "JAX_PLATFORMS": ""},
     )
     out = r.stdout.strip().splitlines()
@@ -144,7 +155,7 @@ print(f"OK int8 rel={rel:.3f}")
 def test_quantized_serving_on_tpu():
     r = subprocess.run(
         [sys.executable, "-c", _QUANT_SCRIPT],
-        capture_output=True, text=True, timeout=560,
+        capture_output=True, text=True, timeout=1140,
         env={**os.environ, "JAX_PLATFORMS": ""},
     )
     out = r.stdout.strip().splitlines()
