@@ -337,11 +337,18 @@ void load_one(const char* path, int target_sr, int64_t num_samples, float* row,
 
 extern "C" {
 
-// Decode n WAVs into out[n * num_samples] (row-major), filling ok[n] and a
-// fixed-stride error string table. Returns the number of successful rows.
-int avld_load_wav_batch(const char** paths, int n, int target_sr, int64_t num_samples,
-                        float* out, uint8_t* ok, char* errs, int err_stride,
-                        int num_threads) {
+// Decode n WAVs into rows of row_stride floats, each file's samples written
+// at out[i*row_stride + col_offset .. +num_samples). Regions outside the
+// sample window are left untouched (the caller provides a zeroed buffer) —
+// this is how the TPU mel kernel's pre-padded phase layout is produced at
+// zero extra host cost: the decoder memcpys into a preallocated row either
+// way, so the write offset is free (vs ~2.2 GB/batch of device HBM traffic
+// for the on-device jnp.pad it replaces). Returns the successful-row count.
+int avld_load_wav_batch_strided(const char** paths, int n, int target_sr,
+                                int64_t num_samples, float* out,
+                                int64_t row_stride, int64_t col_offset,
+                                uint8_t* ok, char* errs, int err_stride,
+                                int num_threads) {
   if (n <= 0) return 0;
   if (num_threads < 1) num_threads = 1;
   if (num_threads > n) num_threads = n;
@@ -351,7 +358,8 @@ int avld_load_wav_batch(const char** paths, int n, int target_sr, int64_t num_sa
     for (;;) {
       int i = next.fetch_add(1);
       if (i >= n) break;
-      load_one(paths[i], target_sr, num_samples, out + static_cast<size_t>(i) * num_samples,
+      load_one(paths[i], target_sr, num_samples,
+               out + static_cast<size_t>(i) * row_stride + col_offset,
                ok + i, errs + static_cast<size_t>(i) * err_stride, err_stride);
     }
   };
@@ -366,7 +374,17 @@ int avld_load_wav_batch(const char** paths, int n, int target_sr, int64_t num_sa
   return good;
 }
 
+// Decode n WAVs into out[n * num_samples] (row-major), filling ok[n] and a
+// fixed-stride error string table. Returns the number of successful rows.
+int avld_load_wav_batch(const char** paths, int n, int target_sr, int64_t num_samples,
+                        float* out, uint8_t* ok, char* errs, int err_stride,
+                        int num_threads) {
+  return avld_load_wav_batch_strided(paths, n, target_sr, num_samples, out,
+                                     num_samples, 0, ok, errs, err_stride,
+                                     num_threads);
+}
+
 // Introspection hook for the binding layer.
-int avld_abi_version() { return 1; }
+int avld_abi_version() { return 2; }
 
 }  // extern "C"

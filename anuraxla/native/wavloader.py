@@ -30,19 +30,21 @@ def _get_lib():
         from anuraxla.native.build import build
 
         lib = ctypes.CDLL(str(build()))
-        lib.avld_load_wav_batch.restype = ctypes.c_int
-        lib.avld_load_wav_batch.argtypes = [
+        lib.avld_load_wav_batch_strided.restype = ctypes.c_int
+        lib.avld_load_wav_batch_strided.argtypes = [
             ctypes.POINTER(ctypes.c_char_p),
             ctypes.c_int,
             ctypes.c_int,
             ctypes.c_int64,
             ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int64,
+            ctypes.c_int64,
             ctypes.POINTER(ctypes.c_uint8),
             ctypes.c_char_p,
             ctypes.c_int,
             ctypes.c_int,
         ]
-        if lib.avld_abi_version() != 1:
+        if lib.avld_abi_version() != 2:
             raise RuntimeError("native ABI mismatch")
         _lib = lib
     except Exception:
@@ -54,7 +56,14 @@ def available() -> bool:
     return _get_lib() is not None
 
 
-def load_batch(paths: Sequence[Path], *, sr: int, num_samples: int, num_threads: int = 16):
+def load_batch(
+    paths: Sequence[Path], *, sr: int, num_samples: int, num_threads: int = 16,
+    layout: Optional[tuple] = None,
+):
+    """Decode a batch. ``layout=(row_len, col_offset)`` writes each file's
+    samples at that offset in a zeroed row of ``row_len`` floats — the
+    pre-padded phase-kernel layout (ops.pallas_frontend.phase_padded_layout)
+    at zero extra host cost."""
     from anuraxla.pipeline.dataset import LoadedBatch
 
     lib = _get_lib()
@@ -65,18 +74,23 @@ def load_batch(paths: Sequence[Path], *, sr: int, num_samples: int, num_threads:
             "pure-Python reader (pipeline.dataset does this automatically)"
         )
     n = len(paths)
-    audio = np.zeros((n, num_samples), np.float32)
+    row_len, col_offset = layout if layout is not None else (num_samples, 0)
+    if col_offset < 0 or col_offset + num_samples > row_len:
+        raise ValueError(f"layout {layout} cannot hold {num_samples} samples")
+    audio = np.zeros((n, row_len), np.float32)
     ok = np.zeros(n, np.uint8)
     errbuf = ctypes.create_string_buffer(n * _ERR_STRIDE)
     c_paths = (ctypes.c_char_p * n)(*[str(p).encode() for p in paths])
 
     if n:
-        lib.avld_load_wav_batch(
+        lib.avld_load_wav_batch_strided(
             c_paths,
             n,
             sr,
             num_samples,
             audio.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            row_len,
+            col_offset,
             ok.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
             errbuf,
             _ERR_STRIDE,

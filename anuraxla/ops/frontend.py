@@ -63,6 +63,7 @@ def rms_scale_batch(
     target_rms: float = RMS_TARGET,
     rms_min: float = RMS_SILENCE_GATE,
     eps: float = RMS_EPS,
+    num_valid: int | None = None,
 ) -> jax.Array:
     """Per-row fused-normalization scale for ``log_mel_batch(rms_scale=...)``.
 
@@ -72,8 +73,15 @@ def rms_scale_batch(
     normalized signal: the reduction reads y once, and the scale+clip is
     folded into the Pallas mel kernel's VMEM tile (or applied inline by the
     XLA path), saving a signal-sized HBM write + re-read per batch.
+
+    ``num_valid``: for PRE-PADDED rows (the zero-copy kernel layout, see
+    ``pallas_padded_len``) — the zero padding contributes nothing to the
+    sum of squares, so the true RMS over the original ``num_valid`` samples
+    is recovered by fixing the denominator.
     """
-    rms = jnp.sqrt(jnp.mean(y * y, axis=-1))
+    sumsq = jnp.sum(y * y, axis=-1)
+    n = float(num_valid if num_valid is not None else y.shape[-1])
+    rms = jnp.sqrt(sumsq / n)
     return jnp.where(rms >= rms_min, target_rms / (rms + eps), -1.0)
 
 
@@ -98,7 +106,7 @@ def rms_normalize_np(
     return _rms_normalize_impl(np, y, target_rms, rms_min, eps)
 
 
-@partial(jax.jit, static_argnames=("cfg", "parity", "backend"))
+@partial(jax.jit, static_argnames=("cfg", "parity", "backend", "pre_padded"))
 def log_mel_batch(
     y: jax.Array,
     cfg: MelConfig,
@@ -106,6 +114,7 @@ def log_mel_batch(
     parity: bool = True,
     backend: str = "matmul",
     rms_scale: jax.Array | None = None,
+    pre_padded: bool = False,
 ) -> jax.Array:
     """[B, num_samples] float32 waveforms -> [B, target_frames, n_mels] log-mels.
 
@@ -119,6 +128,12 @@ def log_mel_batch(
     ``log_mel_batch(rms_normalize_batch(y)[0], ...)`` without the normalized
     signal's HBM round-trip (on the Pallas backends the scale+clip runs
     inside the mel kernel's VMEM tile).
+
+    ``pre_padded``: y rows are already in the phase-kernel layout
+    (pallas_frontend.phase_padded_layout for the kernel's frame count) —
+    the device-side signal pad is skipped. If the Pallas path is
+    unavailable, the valid region is sliced back out for the fallback
+    (correct, just without the saving).
     """
     if y.ndim == 1:
         y = y[None]
@@ -135,11 +150,15 @@ def log_mel_batch(
     if backend in ("pallas", "pallas-bf16"):
         from anuraxla.ops.pallas_frontend import pallas_supported
 
-        if not pallas_supported(cfg):
-            # the fused kernels' lane-alignment contracts don't hold (hop
-            # outside the %32/%16 families, e.g. 441) — fall back to the XLA
-            # matmul path (same math; "pallas" stays a safe default for any
-            # hop). pallas-bf16 keeps its reduced-precision/speed intent by
+        if not pallas_supported(cfg) or jax.default_backend() not in (
+            "tpu", "axon"
+        ):
+            # fall back to the XLA matmul path (same math; "pallas" stays a
+            # safe default everywhere) when (a) the fused kernels'
+            # lane-alignment contracts don't hold (hop outside the %32/%16
+            # families, e.g. 441), or (b) there is no TPU — Mosaic kernels
+            # only interpret on CPU, which is a test vehicle, not a serving
+            # path. pallas-bf16 keeps its reduced-precision/speed intent by
             # running the fallback matmuls at the MXU's native bf16 precision.
             if backend == "pallas-bf16":
                 prec = jax.lax.Precision.DEFAULT
@@ -152,10 +171,27 @@ def log_mel_batch(
         S = mel_power_pallas(
             y, cfg, num_frames=first + num_frames,
             exact=(backend == "pallas"), rms_scale=rms_scale,
+            pre_padded=pre_padded,
         )
         if first:
             S = jax.lax.slice_in_dim(S, first, first + num_frames, axis=1)
     else:
+        if pre_padded:
+            # phase-layout rows on a non-Pallas path: recover the raw signal
+            # (zeros outside [pad_l, pad_l + num_samples) by contract). The
+            # fast-frontend layout truncates the tail the kernel never
+            # reads, so it cannot be recovered for the frame-offset path.
+            from anuraxla.ops.pallas_frontend import phase_padded_layout
+
+            if first:
+                raise ValueError(
+                    "pre_padded input requires the Pallas phase kernel in "
+                    "fast-frontend mode (the padded layout drops the tail)"
+                )
+            _, pad_l = phase_padded_layout(cfg, first + num_frames)
+            y = jax.lax.slice_in_dim(
+                y, pad_l, pad_l + cfg.num_samples, axis=1
+            )
         if rms_scale is not None:
             y = apply_rms_scale(y, rms_scale)
         P = stft_power(

@@ -305,41 +305,71 @@ def _cmul_w(z, j: int, N: int):
 
 
 def _inner_dft16(blocks):
-    """16-point DFT of 16 real blocks via 4×4 Cooley–Tukey: two
+    """Lazy 16-point DFT of 16 real blocks via 4×4 Cooley–Tukey: two
     trivial-weight 4-point stages (pure block adds) + 9 twiddle multiplies
     — ~7× fewer VPU block-ops than the dense 16×16 weight unroll, same math.
-    Returns [(re, im)] for r ∈ [0,16); components may be None (exact zero)."""
+
+    Returns ``inner(r) -> (re, im)`` (components may be None = exact zero).
+    Shared stages are cached at trace time, so calling inner(r) lazily from
+    the outer-stage loop emits each r's remaining VPU combine BETWEEN the
+    previous r's MXU dots and the next — the two units overlap instead of
+    the VPU running to completion before the first matmul issues (the
+    staged ordering left the MXU idle for the whole inner stage: measured
+    26.3 ms melpow at B=1024 vs a ~14.8 ms 3-pass MXU floor).
+    ``[inner(r) for r in range(16)]`` reproduces the staged order exactly.
+    """
+    state: dict = {}
 
     def dft4_real(x):  # 4 real blocks -> [(re, im)] over r0; W4 = 1,-i,-1,i
         t0, t1 = x[0] + x[2], x[1] + x[3]
         t2, t3 = x[0] - x[2], x[1] - x[3]
         return [(t0 + t1, None), (t2, -t3), (t0 - t1, None), (t2, t3)]
 
-    # stage 1: G[n0][r0] = Σ_{n1'} blocks[4·n1'+n0]·W4^{n1' r0}
-    G = [dft4_real([blocks[4 * k + n0] for k in range(4)]) for n0 in range(4)]
-    # twiddle: T[n0][r0] = G·W16^{n0 r0}
-    T = [[_cmul_w(G[n0][r0], n0 * r0, 16) for r0 in range(4)] for n0 in range(4)]
-    # stage 2 per r0: A[r0 + 4 r1] = Σ_{n0} T[n0][r0]·W4^{n0 r1}
-    out = [None] * 16
-    for r0 in range(4):
-        z = [T[n0][r0] for n0 in range(4)]
-        u0 = (_n_add(z[0][0], z[2][0]), _n_add(z[0][1], z[2][1]))
-        u1 = (_n_add(z[1][0], z[3][0]), _n_add(z[1][1], z[3][1]))
-        v0 = (_n_sub(z[0][0], z[2][0]), _n_sub(z[0][1], z[2][1]))
-        v1 = (_n_sub(z[1][0], z[3][0]), _n_sub(z[1][1], z[3][1]))
-        out[r0] = (_n_add(u0[0], u1[0]), _n_add(u0[1], u1[1]))
-        out[r0 + 8] = (_n_sub(u0[0], u1[0]), _n_sub(u0[1], u1[1]))
+    def G():
+        # stage 1: G[n0][r0] = Σ_{n1'} blocks[4·n1'+n0]·W4^{n1' r0}
+        if "G" not in state:
+            state["G"] = [
+                dft4_real([blocks[4 * k + n0] for k in range(4)]) for n0 in range(4)
+            ]
+        return state["G"]
+
+    def UV(r0):
+        # twiddle T[n0] = G[n0][r0]·W16^{n0 r0}, then the shared stage-2
+        # half-butterflies for this r0 (u* feed r1 ∈ {0,2}, v* feed {1,3})
+        key = ("UV", r0)
+        if key not in state:
+            g = G()
+            z = [_cmul_w(g[n0][r0], n0 * r0, 16) for n0 in range(4)]
+            u0 = (_n_add(z[0][0], z[2][0]), _n_add(z[0][1], z[2][1]))
+            u1 = (_n_add(z[1][0], z[3][0]), _n_add(z[1][1], z[3][1]))
+            v0 = (_n_sub(z[0][0], z[2][0]), _n_sub(z[0][1], z[2][1]))
+            v1 = (_n_sub(z[1][0], z[3][0]), _n_sub(z[1][1], z[3][1]))
+            state[key] = (u0, u1, v0, v1)
+        return state[key]
+
+    def inner(r):
+        # A[r0 + 4 r1] = Σ_{n0} T[n0][r0]·W4^{n0 r1}
+        r0, r1 = r % 4, r // 4
+        u0, u1, v0, v1 = UV(r0)
+        if r1 == 0:
+            return (_n_add(u0[0], u1[0]), _n_add(u0[1], u1[1]))
+        if r1 == 2:
+            return (_n_sub(u0[0], u1[0]), _n_sub(u0[1], u1[1]))
         # v0 ∓ i·v1: re = v0.re ± v1.im, im = v0.im ∓ v1.re
-        out[r0 + 4] = (_n_add(v0[0], v1[1]), _n_sub(v0[1], v1[0]))
-        out[r0 + 12] = (_n_sub(v0[0], v1[1]), _n_add(v0[1], v1[0]))
-    return out
+        if r1 == 1:
+            return (_n_add(v0[0], v1[1]), _n_sub(v0[1], v1[0]))
+        return (_n_sub(v0[0], v1[1]), _n_add(v0[1], v1[0]))
+
+    return inner
 
 
 def _inner_dft_generic(blocks, R: int):
     """Direct R-point DFT of R real blocks with literal weights (zero terms
-    skipped, ±1 strength-reduced). Used for small R; R=16 has the fast path."""
-    out = []
-    for r in range(R):
+    skipped, ±1 strength-reduced). Used for small R; R=16 has the fast path.
+    Same lazy ``inner(r)`` contract as :func:`_inner_dft16` (each r is
+    already independent in the direct form)."""
+
+    def inner(r):
         a_re = None
         a_im = None
         for n1 in range(R):
@@ -353,8 +383,9 @@ def _inner_dft_generic(blocks, R: int):
                 a_re = _n_add(a_re, _n_scale(blocks[n1], cw))
             if abs(sw) > 1e-12:
                 a_im = _n_add(a_im, _n_scale(blocks[n1], sw))
-        out.append((a_re, a_im))
-    return out
+        return (a_re, a_im)
+
+    return inner
 
 
 def _split_bf16(x):
@@ -366,21 +397,29 @@ def _split_bf16(x):
 
 def _ct_outer_stage(
     inner, chi_ref, clo_ref, shi_ref, slo_ref, fbhi_ref, fblo_ref,
-    *, exact: bool, n_half: int
+    *, exact: bool, n_half: int, interleave: bool = True
 ):
     """Outer CT stage shared by the stack- and phase-assembled kernels:
     per-r [T,128]x[128,128] MXU matmuls against twiddle-folded bases, power,
-    merged-filterbank accumulation. ``inner`` is the inner-stage output
-    [(a_re, a_im)] (components may be None = exact zero)."""
+    merged-filterbank accumulation. ``inner`` is the lazy inner-stage
+    provider ``inner(r) -> (a_re, a_im)`` (components may be None = exact
+    zero). ``interleave=True`` (default) pulls each r's inner combine just
+    before its dots so the VPU work hides under the MXU pipeline;
+    ``False`` reproduces the legacy staged order (all VPU, then all MXU)
+    for A/B measurement."""
     d = lambda x, y: jnp.dot(x, y, preferred_element_type=jnp.float32)  # noqa: E731
 
     def dot3h(a_split, b_hi, b_lo):
         a_hi, a_lo = a_split
         return d(a_hi, b_hi) + d(a_hi, b_lo) + d(a_lo, b_hi)
 
+    if not interleave:
+        staged = [inner(r) for r in range(n_half)]
+        inner = lambda r: staged[r]  # noqa: E731
+
     acc = None
     for r in range(n_half):
-        a_re, a_im = inner[r]  # a_re is never None for real input
+        a_re, a_im = inner(r)  # a_re is never None for real input
         sl = slice(r * 128, (r + 1) * 128)
         if exact:
             ar = _split_bf16(a_re)
@@ -415,6 +454,7 @@ def _mel_power_ctp_kernel(
     h128: int,
     rb: int,
     with_scale: bool,
+    interleave: bool = True,
 ):
     """Phase-sliced CT mel kernel for hop % 128 == 0 — ZERO frame assembly
     and ZERO host staging. The padded signal is VIEWED (free reshape) as
@@ -483,7 +523,7 @@ def _mel_power_ctp_kernel(
         inner = _inner_dft16(blocks) if R == 16 else _inner_dft_generic(blocks, R)
         acc = _ct_outer_stage(
             inner, chi_ref, clo_ref, shi_ref, slo_ref, fbhi_ref, fblo_ref,
-            exact=exact, n_half=n_half,
+            exact=exact, n_half=n_half, interleave=interleave,
         )
         out_ref[r_i, :, :] = acc
 
@@ -498,6 +538,7 @@ def _mel_power_ct_kernel(
     tile_t: int,
     rb: int,
     fused: bool,
+    interleave: bool = True,
 ):
     """Whole-spectrum mel power for one (batch row, frame tile), DFT done as
     a radix-(R=n_fft/128, 128) Cooley–Tukey factorization entirely in VMEM:
@@ -608,7 +649,7 @@ def _mel_power_ct_kernel(
         idx_real = idx_cplx = 0
         acc = None
         for r in range(n_half):
-            a_re, a_im = inner[r]
+            a_re, a_im = inner(r)
             if exact:
                 ar_hi, ar_lo = _split_bf16(a_re)
                 if a_im is None:
@@ -655,13 +696,37 @@ def _mel_power_ct_kernel(
 
     acc = _ct_outer_stage(
         inner, chi_ref, clo_ref, shi_ref, slo_ref, fbhi_ref, fblo_ref,
-        exact=exact, n_half=n_half,
+        exact=exact, n_half=n_half, interleave=interleave,
     )
     if rb == 1:
         out_ref[0, :, :] = acc
     else:
         for r_i in range(rb):
             out_ref[r_i, :, :] = acc[r_i * tile_t : (r_i + 1) * tile_t, :]
+
+
+def phase_padded_layout(cfg: MelConfig, num_frames: int) -> tuple[int, int]:
+    """(L_pad, pad_l) of the zero-copy phase-kernel signal layout for
+    ``hop % 128 == 0`` configs: a pre-padded row is ``L_pad`` samples with
+    the signal starting at ``pad_l`` (= n_fft//2, librosa center=True) and
+    zeros elsewhere. Host loaders that decode into this layout let
+    ``mel_power_pallas(..., pre_padded=True)`` skip the device-side
+    ``jnp.pad`` — at B=1024/5 s/48 kHz that pad is ~2.2 GB of HBM traffic
+    (~2.7 ms/batch), while placing the decoded samples at a row offset is
+    free for the host (it memcpys into a preallocated row either way)."""
+    hop, n_fft = cfg.hop_length, cfg.n_fft
+    if hop % 128 != 0:
+        raise NotImplementedError(
+            f"pre-padded layout is defined for the phase kernel "
+            f"(hop % 128 == 0), got hop={hop}"
+        )
+    h128 = hop // 128
+    R = n_fft // 128
+    qmax = (R - 1) // h128
+    W2 = 1 + (TILE_T - 1 + qmax) // TILE_T
+    n_t_tiles = -(-num_frames // TILE_T)
+    n_mrows = n_t_tiles - 1 + W2
+    return n_mrows * TILE_T * hop, n_fft // 2
 
 
 def pallas_supported(cfg: MelConfig, algorithm: str = "auto") -> bool:
@@ -693,6 +758,8 @@ def mel_power_pallas(
     fused_dots: bool | None = None,
     assembly: str = "auto",
     rms_scale: jax.Array | None = None,
+    interleave: bool = True,
+    pre_padded: bool = False,
 ) -> jax.Array:
     """[B, num_samples] -> mel power [B, num_frames, n_mels], fused on TPU.
 
@@ -711,6 +778,10 @@ def mel_power_pallas(
     windowing, s <= 0 rows pass through raw (the silence gate). On the
     phase kernel this happens in the VMEM tile; other paths apply it
     inline before framing.
+
+    ``pre_padded``: y is already in the phase-kernel layout (see
+    :func:`phase_padded_layout`) — the device-side ``jnp.pad`` is skipped
+    entirely. Phase kernel only (hop % 128 == 0, default assembly/tiling).
     """
     import math as _math
 
@@ -748,6 +819,12 @@ def mel_power_pallas(
             and tile_t in (None, TILE_T)
         )
     )
+    if pre_padded and not use_phase:
+        raise ValueError(
+            "pre_padded=True requires the phase kernel (hop % 128 == 0, "
+            "default assembly/tiling) — slice the valid region out for "
+            "other paths (log_mel_batch does this on fallback)"
+        )
     if rms_scale is not None and not use_phase:
         # the fused-scale contract is wired only into the phase kernel; the
         # stack/dense paths apply the identical math up front (same where/
@@ -781,16 +858,23 @@ def mel_power_pallas(
         n_mrows = n_t_tiles - 1 + W2
         L_pad = n_mrows * TILE_T * hop
         pad_l = n_fft // 2
-        pad_r = L_pad - (L + pad_l)
-        if pad_r < 0:  # fast-frontend crops the frame range: drop unread tail
-            y = y[:, : L_pad - pad_l]
-            pad_r = 0
+        if pre_padded:
+            if L != L_pad:
+                raise ValueError(
+                    f"pre_padded input must be the phase_padded_layout "
+                    f"length {L_pad} for num_frames={num_frames}, got {L}"
+                )
+        else:
+            pad_r = L_pad - (L + pad_l)
+            if pad_r < 0:  # fast-frontend crops the frame range: drop unread tail
+                y = y[:, : L_pad - pad_l]
+                pad_r = 0
         B_pad = -(-B // rb) * rb
         if B_pad != B:
             y = jnp.pad(y, ((0, B_pad - B), (0, 0)))
             if rms_scale is not None:
                 rms_scale = jnp.pad(rms_scale, ((0, B_pad - B),))
-        y_pad = jnp.pad(y, ((0, 0), (pad_l, pad_r)))
+        y_pad = y if pre_padded else jnp.pad(y, ((0, 0), (pad_l, pad_r)))
         # zero-copy view: hop-rows of TILE_T frames — the pad above is the
         # ONLY host-side data movement (signal-sized; ~0.4% of the frames
         # matrix the XLA path materializes)
@@ -809,6 +893,7 @@ def mel_power_pallas(
         kernel = functools.partial(
             _mel_power_ctp_kernel, n_fft=n_fft, exact=exact, W2=W2,
             h128=h128, rb=rb, with_scale=rms_scale is not None,
+            interleave=interleave,
         )
         base_spec = lambda shape: pl.BlockSpec(  # noqa: E731
             shape, lambda b, tt: (0,) * len(shape), memory_space=pltpu.VMEM
@@ -954,6 +1039,7 @@ def mel_power_pallas(
         kernel = functools.partial(
             _mel_power_ct_kernel, hop=hop, n_fft=n_fft, exact=exact, W=W,
             k_copies=k_copies, tile_t=tile_t, rb=rb, fused=fused,
+            interleave=interleave,
         )
         base_spec = lambda shape: pl.BlockSpec(  # noqa: E731
             shape, lambda b, tt: (0,) * len(shape), memory_space=pltpu.VMEM

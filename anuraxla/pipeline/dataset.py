@@ -87,26 +87,40 @@ def load_wav_batch(
     num_samples: int,
     num_threads: int = 16,
     use_native: bool = True,
+    layout: Optional[Tuple[int, int]] = None,
 ) -> LoadedBatch:
     """Decode a list of WAVs into a fixed [len(paths), num_samples] array.
 
     Failures (missing/corrupt files) zero their row and set ok=False —
     the batched analogue of the reference's per-file try/except failure
     counters (``08:503-506``) and benchmark ERROR rows (``10:409-418``).
+
+    ``layout=(row_len, col_offset)``: decode into zeroed rows of
+    ``row_len`` samples with the file's samples at ``col_offset`` — the
+    pre-padded phase-kernel layout (free for the host: the decoder memcpys
+    into a preallocated row either way; saves the device-side signal pad).
     """
     n = len(paths)
-    audio = np.zeros((n, num_samples), np.float32)
+    row_len, col_off = layout if layout is not None else (num_samples, 0)
+    if col_off < 0 or col_off + num_samples > row_len:
+        raise ValueError(f"layout {layout} cannot hold {num_samples} samples")
+    audio = np.zeros((n, row_len), np.float32)
     ok = np.zeros(n, bool)
     errors: List[Optional[str]] = [None] * n
 
     native = _get_native_loader() if use_native else None
     if native is not None:
-        return native.load_batch(paths, sr=sr, num_samples=num_samples, num_threads=num_threads)
+        return native.load_batch(
+            paths, sr=sr, num_samples=num_samples, num_threads=num_threads,
+            layout=layout,
+        )
 
     def work(i: int):
         try:
             y, _ = read_wav(paths[i], sr=sr, mono=True)
-            audio[i] = crop_or_pad_samples(y, num_samples)
+            audio[i, col_off : col_off + num_samples] = crop_or_pad_samples(
+                y, num_samples
+            )
             ok[i] = True
         except Exception as e:  # noqa: BLE001 — per-file isolation by design
             errors[i] = f"{type(e).__name__}: {e}"
@@ -125,19 +139,23 @@ def iter_batches(
     batch_size: int,
     num_threads: int = 16,
     prefetch: bool = True,
+    layout: Optional[Tuple[int, int]] = None,
 ) -> Iterator[Tuple[LoadedBatch, int]]:
     """Yield (batch, n_valid_rows) with the last batch zero-padded to
     ``batch_size`` (static shapes keep one XLA executable). Decodes the next
     batch on a background thread while the caller computes on the current one.
+    ``layout``: see :func:`load_wav_batch`.
     """
     chunks = [list(paths[i : i + batch_size]) for i in range(0, len(paths), batch_size)]
+    row_len = layout[0] if layout is not None else num_samples
 
     def load(chunk: List[Path]) -> Tuple[LoadedBatch, int]:
-        b = load_wav_batch(chunk, sr=sr, num_samples=num_samples, num_threads=num_threads)
+        b = load_wav_batch(chunk, sr=sr, num_samples=num_samples,
+                           num_threads=num_threads, layout=layout)
         n_valid = len(chunk)
         if n_valid < batch_size:
             pad = batch_size - n_valid
-            audio = np.concatenate([b.audio, np.zeros((pad, num_samples), np.float32)])
+            audio = np.concatenate([b.audio, np.zeros((pad, row_len), np.float32)])
             okp = np.concatenate([b.ok, np.zeros(pad, bool)])
             b = LoadedBatch(audio, okp, b.errors + [None] * pad)
         return b, n_valid

@@ -39,7 +39,24 @@ class EncoderSession:
     transfer_int16: bool = False  # ship PCM16 over the host->device link
     data_parallel: bool = False  # shard batches over all local devices
     quantize: bool = False  # int8 encoder contractions (models.quant)
+    # encoder trunk compute dtype ("float32" | "bfloat16"); bf16 halves the
+    # conv stack's HBM traffic (the encoder is bandwidth-bound on v5e —
+    # measured 5.8 -> 3.5 ms/1024-batch) at ~1e-2 relative latent drift.
+    # Params stay f32 and the mu/logvar heads always compute f32. Covered by
+    # the latent-cache fingerprint via the arch hash (cfg.dtype).
+    encoder_dtype: str = "float32"
     normalize_on_device: bool = False  # fuse RMS normalization into the mel op
+    # Decode into the Pallas phase kernel's pre-padded row layout
+    # (ops.pallas_frontend.phase_padded_layout): the host decoder memcpys
+    # samples into a preallocated row either way, so the offset is free,
+    # and the device skips its signal-sized jnp.pad (~2.2 GB HBM traffic at
+    # B=1024/5s/48kHz). Trade-off: rows on the host->device link grow by
+    # the pad (~23% at defaults) — a win when device-bound (PCIe-attached
+    # chip, device-resident serving), a loss on a slow link; hence opt-in.
+    # Latents are bitwise identical to the unpadded path (same kernel data;
+    # the fused-RMS scale is computed on the sliced valid region), so the
+    # cache fingerprint does NOT split. Requires parity+pallas+hop%128==0.
+    pre_padded_host: bool = False
     num_threads: int = 16
     _enc: object = None
     _params: object = None
@@ -48,6 +65,23 @@ class EncoderSession:
 
     def load(self) -> "EncoderSession":
         enc, params, cfg = load_or_init_encoder(self.encoder_dir, self.project_root)
+        if self.encoder_dtype not in ("float32", "bfloat16"):
+            raise ValueError(
+                f"encoder_dtype must be float32 or bfloat16, got "
+                f"{self.encoder_dtype!r}"
+            )
+        if self.encoder_dtype == "bfloat16":
+            if self.quantize:
+                raise ValueError(
+                    "encoder_dtype='bfloat16' and quantize=True are mutually "
+                    "exclusive (int8 serving has its own compute path)"
+                )
+            import dataclasses as _dc
+
+            from anuraxla.models.vae import ConvVAEEncoder
+
+            cfg = _dc.replace(cfg, dtype=jnp.bfloat16)
+            enc = ConvVAEEncoder(cfg)  # same f32 params, bf16 trunk compute
         if tuple(cfg.input_hw) != (self.mel.target_frames, self.mel.n_mels):
             raise ValueError(
                 f"encoder expects input {cfg.input_hw}, mel config produces "
@@ -61,6 +95,28 @@ class EncoderSession:
         i16 = self.transfer_int16
         norm_dev = self.normalize_on_device
 
+        self._layout = None  # (row_len, col_offset) pre-padded decode layout
+        if self.pre_padded_host:
+            from anuraxla.ops.pallas_frontend import (
+                pallas_supported,
+                phase_padded_layout,
+            )
+
+            if (
+                not parity
+                or backend != "pallas"
+                or mel_cfg.hop_length % 128
+                or not pallas_supported(mel_cfg, "ct")
+            ):
+                raise ValueError(
+                    "pre_padded_host requires parity=True, backend='pallas' "
+                    "and hop_length % 128 == 0 (the phase kernel's zero-copy "
+                    f"layout); got parity={parity}, backend={backend!r}, "
+                    f"hop={mel_cfg.hop_length}"
+                )
+            self._layout = phase_padded_layout(mel_cfg, mel_cfg.total_frames)
+        layout = self._layout
+
         def to_mels(audio):
             if i16:
                 audio = audio.astype(jnp.float32) / 32768.0
@@ -71,11 +127,23 @@ class EncoderSession:
                 # device and the normalized signal never round-trips HBM
                 from anuraxla.ops.frontend import rms_scale_batch
 
-                scale = rms_scale_batch(audio)
+                if layout is not None:
+                    # reduce over the sliced valid region: bitwise the same
+                    # scale (and so the same latents/caches) as the
+                    # unpadded path — num_valid's padded-sum shortcut has a
+                    # different reduction tree (last-ulp drift)
+                    _, off = layout
+                    valid = jax.lax.slice_in_dim(
+                        audio, off, off + mel_cfg.num_samples, axis=1
+                    )
+                    scale = rms_scale_batch(valid)
+                else:
+                    scale = rms_scale_batch(audio)
             else:
                 scale = None
             return log_mel_batch(
-                audio, mel_cfg, parity=parity, backend=backend, rms_scale=scale
+                audio, mel_cfg, parity=parity, backend=backend,
+                rms_scale=scale, pre_padded=layout is not None,
             )
 
         if self.quantize:
@@ -158,6 +226,14 @@ class EncoderSession:
         Under data-parallel serving, ragged batches (e.g. a single wav) are
         padded to a data-axis multiple — SPMD needs even shards; callers
         already slice results to their own row count."""
+        if self._layout is not None and audio.shape[1] == self.mel.num_samples:
+            # raw [B, num_samples] rows from encode_array callers: stage
+            # into the pre-padded layout host-side (encode_paths batches
+            # already arrive in it from the decoder)
+            row_len, off = self._layout
+            staged = np.zeros((audio.shape[0], row_len), np.float32)
+            staged[:, off : off + self.mel.num_samples] = audio
+            audio = staged
         if self.transfer_int16:
             audio = np.clip(np.round(audio * 32768.0), -32768, 32767).astype(np.int16)
         if getattr(self, "_data_axis", 1) > 1 and audio.shape[0] % self._data_axis:
@@ -185,6 +261,7 @@ class EncoderSession:
             num_samples=self.mel.num_samples,
             batch_size=self.batch_size,
             num_threads=self.num_threads,
+            layout=self._layout,
         ):
             ok[pos : pos + n_valid] = batch.ok[:n_valid]
             errors[pos : pos + n_valid] = batch.errors[:n_valid]

@@ -149,3 +149,26 @@ def test_native_crop_early_and_generic_paths(tmp_path):
     assert list(nb.ok) == [True, True, False]
     for i in range(2):
         np.testing.assert_allclose(nb.audio[i], pb.audio[i], atol=1e-7)
+
+
+@needs_native
+def test_native_strided_layout_matches_plain(wav_dir):
+    """layout=(row_len, offset) decode == the plain decode placed at the
+    offset, zeros elsewhere — native and pure-Python fallback agree."""
+    d, y = wav_dir
+    paths = [d / "pcm16.wav", d / "short.wav", d / "corrupt.wav"]
+    L, row_len, off = 48000, 50048, 1024
+    nb = wavloader.load_batch(paths, sr=48000, num_samples=L, num_threads=2,
+                              layout=(row_len, off))
+    pb = load_wav_batch(paths, sr=48000, num_samples=L, use_native=False,
+                        layout=(row_len, off))
+    plain = load_wav_batch(paths, sr=48000, num_samples=L, use_native=False)
+    assert nb.audio.shape == pb.audio.shape == (3, row_len)
+    np.testing.assert_array_equal(nb.ok, plain.ok)
+    for b in (nb, pb):
+        np.testing.assert_array_equal(b.audio[:, off : off + L], plain.audio)
+        assert b.audio[:, :off].any() == False  # noqa: E712
+        assert b.audio[:, off + L :].any() == False  # noqa: E712
+
+    with pytest.raises(ValueError, match="cannot hold"):
+        wavloader.load_batch(paths, sr=48000, num_samples=L, layout=(L, 10))

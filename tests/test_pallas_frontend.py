@@ -278,3 +278,56 @@ def test_log_mel_pallas_backend_lane_phase_hop_full_frontend(rng):
         pf.mel_power_pallas = orig
     ref = np.asarray(log_mel_batch(jnp.asarray(y), cfg, backend="matmul"))
     np.testing.assert_allclose(got, ref, atol=1e-4)
+
+
+def test_pre_padded_input_matches_device_pad(rng):
+    """pre_padded=True on a host-padded phase-layout row is bitwise the
+    device-padded run (same kernel, same data), with the fused rms_scale
+    recovered via num_valid, and the layout-mismatch guard raises."""
+    from anuraxla.ops.frontend import rms_scale_batch
+    from anuraxla.ops.pallas_frontend import phase_padded_layout
+
+    cfg = MelConfig(sr=48000, duration=1.0, n_mels=64, fmin=150, fmax=15000,
+                    hop_length=384, n_fft=2048, target_frames=96)
+    T = cfg.total_frames
+    y = (0.1 * rng.standard_normal((3, cfg.num_samples))).astype(np.float32)
+    y[1] *= 1e-5  # silence-gate row survives the padded-rms path too
+    L_pad, pad_l = phase_padded_layout(cfg, T)
+    ypad = np.zeros((3, L_pad), np.float32)
+    ypad[:, pad_l : pad_l + cfg.num_samples] = y
+
+    sc = rms_scale_batch(jnp.asarray(y))
+    sc_pad = rms_scale_batch(jnp.asarray(ypad), num_valid=cfg.num_samples)
+    # same scales up to the padded sum's different reduction tree
+    np.testing.assert_allclose(np.asarray(sc), np.asarray(sc_pad), rtol=1e-6)
+
+    # bitwise check uses ONE scale for both calls (sc vs sc_pad differ in
+    # the last ulp, which the clip+window chain would amplify past equality)
+    ref = np.asarray(mel_power_pallas(jnp.asarray(y), cfg, num_frames=T,
+                                      interpret=True, algorithm="ct",
+                                      rms_scale=sc_pad))
+    got = np.asarray(mel_power_pallas(jnp.asarray(ypad), cfg, num_frames=T,
+                                      interpret=True, algorithm="ct",
+                                      rms_scale=sc_pad, pre_padded=True))
+    np.testing.assert_array_equal(got, ref)
+
+    with pytest.raises(ValueError, match="phase_padded_layout"):
+        mel_power_pallas(jnp.asarray(ypad[:, :-128]), cfg, num_frames=T,
+                         interpret=True, algorithm="ct", pre_padded=True)
+
+
+def test_log_mel_pre_padded_fallback_slices_valid_region(rng):
+    """pre_padded rows through log_mel_batch on the matmul backend slice the
+    valid region back out — same result as the raw-signal call."""
+    cfg = MelConfig(sr=48000, duration=1.0, n_mels=64, fmin=150, fmax=15000,
+                    hop_length=384, n_fft=2048, target_frames=96)
+    from anuraxla.ops.pallas_frontend import phase_padded_layout
+
+    y = (0.1 * rng.standard_normal((2, cfg.num_samples))).astype(np.float32)
+    L_pad, pad_l = phase_padded_layout(cfg, cfg.total_frames)
+    ypad = np.zeros((2, L_pad), np.float32)
+    ypad[:, pad_l : pad_l + cfg.num_samples] = y
+    ref = np.asarray(log_mel_batch(jnp.asarray(y), cfg, backend="matmul"))
+    got = np.asarray(log_mel_batch(jnp.asarray(ypad), cfg, backend="matmul",
+                                   pre_padded=True))
+    np.testing.assert_array_equal(got, ref)

@@ -168,3 +168,99 @@ def test_normalize_on_device_matches_host_normalization(tmp_path, rng):
 
     fp_a, fp_b = session_fingerprint(s_plain), session_fingerprint(s_fused)
     assert fp_a != fp_b and fp_b.endswith("_ndev")
+
+
+def test_bf16_encoder_serving_session(tmp_path, rng):
+    """encoder_dtype='bfloat16': same f32 params, bf16 trunk compute —
+    latents close to the f32 session's (heads stay f32), fingerprint split
+    via the arch hash, and mutual exclusion with int8 serving enforced."""
+    import pytest
+
+    from anuraxla.pipeline.session import session_fingerprint
+
+    batch = (0.2 * rng.standard_normal((4, MEL.num_samples))).astype(np.float32)
+    s_f32 = make_session(tmp_path)
+    s_bf16 = make_session(tmp_path, encoder_dtype="bfloat16")
+    z_f32 = s_f32.encode_array(batch)
+    z_bf16 = s_bf16.encode_array(batch)
+    assert z_bf16.shape == z_f32.shape and z_bf16.dtype == np.float32
+    num = (z_f32 * z_bf16).sum(-1)
+    den = np.linalg.norm(z_f32, axis=-1) * np.linalg.norm(z_bf16, axis=-1)
+    assert (num / den).min() > 0.99  # ~1e-2 relative drift bound
+    assert session_fingerprint(s_f32) != session_fingerprint(s_bf16)
+
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        make_session(tmp_path, encoder_dtype="bfloat16", quantize=True)
+    with pytest.raises(ValueError, match="encoder_dtype"):
+        make_session(tmp_path, encoder_dtype="fp8")
+
+
+def test_pre_padded_host_session_bitwise_equal(tmp_path, rng):
+    """pre_padded_host=True: latents are bitwise the plain session's (same
+    kernel data; fused-RMS scale reduced over the sliced valid region), the
+    fingerprint does NOT split, and the knob validates its requirements."""
+    import pytest
+
+    from anuraxla.pipeline.session import session_fingerprint
+
+    mel = MelConfig(sr=48000, duration=1.0, n_mels=64, fmin=150, fmax=15000,
+                    hop_length=384, n_fft=2048, target_frames=96)
+    enc_dir = tmp_path / "enc2"
+    from anuraxla.models.checkpoint import save_encoder
+    from anuraxla.models.vae import init_encoder as _init
+
+    vcfg = VAEConfig(latent_dim=8, widths=(8, 16), dense_width=16, groups=4,
+                     input_hw=(96, 64))
+    _, params = _init(vcfg, 0)
+    save_encoder(enc_dir, vcfg, params)
+
+    def mk(**kw):
+        return EncoderSession(mel=mel, encoder_dir=enc_dir, batch_size=4,
+                              project_root=tmp_path, backend="pallas",
+                              normalize_on_device=True, **kw).load()
+
+    batch = (0.1 * rng.standard_normal((3, mel.num_samples))).astype(np.float32)
+    s_plain = mk()
+    s_pp = mk(pre_padded_host=True)
+    z_plain = s_plain.encode_array(batch)
+    z_pp = s_pp.encode_array(batch)  # raw rows staged host-side
+    np.testing.assert_array_equal(z_pp, z_plain)
+    assert session_fingerprint(s_plain) == session_fingerprint(s_pp)
+
+    with pytest.raises(ValueError, match="pre_padded_host requires"):
+        mk_bad = EncoderSession(mel=mel, encoder_dir=enc_dir, batch_size=4,
+                                project_root=tmp_path, backend="matmul",
+                                pre_padded_host=True)
+        mk_bad.load()
+
+
+def test_pre_padded_host_encode_paths(tmp_path, rng):
+    """encode_paths with pre_padded_host: the decoder delivers padded rows
+    end to end; latents equal the plain session's."""
+    from anuraxla.models.checkpoint import save_encoder
+    from anuraxla.models.vae import init_encoder as _init
+    from anuraxla.utils.wavio import write_wav
+
+    mel = MelConfig(sr=48000, duration=1.0, n_mels=64, fmin=150, fmax=15000,
+                    hop_length=384, n_fft=2048, target_frames=96)
+    enc_dir = tmp_path / "enc3"
+    vcfg = VAEConfig(latent_dim=8, widths=(8, 16), dense_width=16, groups=4,
+                     input_hw=(96, 64))
+    _, params = _init(vcfg, 0)
+    save_encoder(enc_dir, vcfg, params)
+
+    paths = []
+    for i in range(3):
+        y = (0.2 * rng.standard_normal(mel.num_samples)).astype(np.float32)
+        p = tmp_path / f"w{i}.wav"
+        write_wav(p, y, mel.sr, subtype="PCM_16")
+        paths.append(p)
+
+    def mk(**kw):
+        return EncoderSession(mel=mel, encoder_dir=enc_dir, batch_size=2,
+                              project_root=tmp_path, backend="pallas", **kw).load()
+
+    Z_plain, ok_p, _ = mk().encode_paths(paths)
+    Z_pp, ok_pp, _ = mk(pre_padded_host=True).encode_paths(paths)
+    np.testing.assert_array_equal(ok_p, ok_pp)
+    np.testing.assert_array_equal(Z_pp, Z_plain)

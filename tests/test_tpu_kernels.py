@@ -77,6 +77,13 @@ S_n = np.asarray(pf.mel_power_pallas(rms_normalize_batch(y_raw)[0], cfg, num_fra
 err_sc = np.abs(S_f - S_n).max() / np.abs(S_n).max()
 assert err_sc < 1e-5, f"fused rms_scale vs normalize-then-mel: {err_sc}"
 
+# pre-padded host layout: bitwise the device-padded run on the chip
+L_pad, pad_l = pf.phase_padded_layout(cfg, T)
+y_pp = jnp.zeros((B, L_pad), jnp.float32).at[:, pad_l : pad_l + cfg.num_samples].set(y)
+S_pp = np.asarray(pf.mel_power_pallas(y_pp, cfg, num_frames=T, exact=True, pre_padded=True))
+S_dev = np.asarray(pf.mel_power_pallas(y, cfg, num_frames=T, exact=True))
+assert np.array_equal(S_pp, S_dev), "pre_padded vs device-padded mismatch"
+
 # dense kernel exact
 S = pf.mel_power_pallas(y, cfg, num_frames=T, algorithm="dense")
 got_dense = np.asarray(crop_or_pad_time(standardize(power_to_db(S, amin=cfg.amin, top_db=cfg.top_db)), cfg.target_frames))
