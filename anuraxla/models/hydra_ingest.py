@@ -407,6 +407,79 @@ def auto_find_frames(
     )
 
 
+def probe_frames_with_hook(
+    module,
+    *,
+    n_mels: int,
+    start: int = 8,
+    max_frames: int = 4096,
+) -> int:
+    """Discover target_frames by RUNNING an opaque torch module — the
+    reference's probe, verbatim in strategy (``ref:07_encode_wav_to_latent
+    .py:316-409``): register a forward-pre-hook on the first ``nn.Linear``,
+    feed ``zeros[1, 1, T, n_mels]`` (the reference's mel input layout), and
+    read the flattened width F(T) the hook captures. F(T) is nondecreasing
+    in T, so an exponential bracket + linear scan finds the T with
+    F(T) == linear.in_features in a handful of tiny forwards.
+
+    This works on ANY architecture torch can run — AvgPool chains, exotic
+    downsampling, whatever — unlike the closed-form :func:`auto_find_frames`
+    which assumes the known ceil-halving conv chain. Used by
+    :func:`ingest_foreign_checkpoint` as a cross-check whenever the
+    checkpoint is a runnable pickled module, and available directly for
+    modules outside the ingest vocabulary.
+    """
+    import torch
+
+    lin = next(
+        (m for m in module.modules() if isinstance(m, torch.nn.Linear)), None
+    )
+    if lin is None:
+        raise UnsupportedLayerError("module has no nn.Linear to probe")
+    target = int(lin.in_features)
+    captured: dict = {}
+
+    def hook(mod, inp):
+        captured["f"] = int(inp[0].reshape(inp[0].shape[0], -1).shape[-1])
+
+    handle = lin.register_forward_pre_hook(hook)
+    try:
+        module.eval()
+
+        def f_of(t: int) -> Optional[int]:
+            captured.clear()
+            try:
+                with torch.no_grad():
+                    module(torch.zeros(1, 1, t, n_mels))
+            except Exception:
+                # a shape error PAST the linear (or at it) still leaves the
+                # hook's capture valid — the reference tolerates the same
+                pass
+            return captured.get("f")
+
+        # exponential bracket: find hi with F(hi) >= target
+        lo, hi = max(8, start), max(8, start)
+        while hi <= max_frames:
+            f = f_of(hi)
+            if f is not None and f >= target:
+                break
+            lo, hi = hi, hi * 2
+        else:
+            raise ValueError(
+                f"no target_frames in [{start}, {max_frames}] reaches the "
+                f"probed linear's in_features={target} (n_mels={n_mels})"
+            )
+        for t in range(lo, min(hi, max_frames) + 1):
+            if f_of(t) == target:
+                return t
+        raise ValueError(
+            f"probe bracket [{lo}, {hi}] never hit in_features={target} "
+            f"exactly (n_mels={n_mels}) — is n_mels right?"
+        )
+    finally:
+        handle.remove()
+
+
 def convert_dense_from_nchw_flatten(w, b, *, c: int, h: int, wd: int) -> Dict[str, Any]:
     """A torch net flattens NCHW (index order c,h,w); the flax encoder
     flattens NHWC (h,w,c). Reorder the dense kernel's input dimension so the
@@ -551,7 +624,38 @@ def ingest_foreign_checkpoint(
     ckpt = torch.load(str(pt_path), map_location="cpu", weights_only=False)
     sd = split_model_and_state(ckpt)
     yaml_cfg = load_yaml_cfg(yaml_path) if yaml_path else None
-    cfg = infer_vae_config_from_state_dict(sd, n_mels=n_mels, groups=groups, yaml_cfg=yaml_cfg)
+    runnable = isinstance(ckpt, torch.nn.Module)
+    try:
+        cfg = infer_vae_config_from_state_dict(
+            sd, n_mels=n_mels, groups=groups, yaml_cfg=yaml_cfg
+        )
+    except (UnsupportedLayerError, ValueError) as e:
+        if runnable:
+            # the module RUNS even though its weights are outside the ingest
+            # vocabulary — probe it the reference's way so the error carries
+            # the one fact a user needs to wire it up manually
+            try:
+                probed = probe_frames_with_hook(ckpt, n_mels=n_mels)
+            except Exception:
+                raise e  # probe couldn't run either; original error stands
+            raise UnsupportedLayerError(
+                f"{e} — the pickled module itself runs (forward-hook probe: "
+                f"target_frames={probed} at n_mels={n_mels}), but its "
+                "architecture is outside the ingest vocabulary"
+            ) from e
+        raise
+    if runnable:
+        # cross-check the closed-form frame search against the real module
+        # (ref:07:316-409 semantics): a mismatch means the state-dict shape
+        # inference mapped onto the wrong architecture — fail loudly instead
+        # of producing silently wrong latents
+        probed = probe_frames_with_hook(ckpt, n_mels=n_mels)
+        if probed != cfg.input_hw[0]:
+            raise UnsupportedLayerError(
+                f"closed-form target_frames={cfg.input_hw[0]} disagrees with "
+                f"the module's forward-hook probe ({probed}) — the checkpoint "
+                "downsamples differently than the inferred conv chain"
+            )
     params = map_foreign_state_dict(sd, cfg, bn_eps=bn_eps)
     meta = {
         "source": str(pt_path),

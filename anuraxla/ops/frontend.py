@@ -207,9 +207,20 @@ def log_mel_batch(
             "btf,fm->btm", P, fb,
             preferred_element_type=jnp.float32, precision=prec,
         )
+    # Epilogue, stats-first: dB statistics (ref=max, mean/std) reduce over
+    # the FULL [T, M] plane (librosa-parity order), but the normalize+write
+    # touches only the cropped target_frames — identical math to
+    # standardize-then-crop (the affine map commutes with the slice), with
+    # the full-size normalized plane never materialized (~114 MB/batch of
+    # HBM writes saved at B=1024).
     S_db = power_to_db(S, amin=cfg.amin, top_db=cfg.top_db)
-    S_db = standardize(S_db)
-    return crop_or_pad_time(S_db, cfg.target_frames)
+    mean = jnp.mean(S_db, axis=(-2, -1), keepdims=True)
+    std = jnp.std(S_db, axis=(-2, -1), keepdims=True)
+    if S_db.shape[-2] >= cfg.target_frames:
+        S_crop = crop_or_pad_time(S_db, cfg.target_frames)
+        return (S_crop - mean) / (std + 1e-8)
+    # short clips pad AFTER normalizing — the pad must stay exact zeros
+    return crop_or_pad_time((S_db - mean) / (std + 1e-8), cfg.target_frames)
 
 
 def mel_to_encoder_input(mel_tm: jax.Array) -> jax.Array:

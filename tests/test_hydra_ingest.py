@@ -420,3 +420,84 @@ def test_verify_refuses_random_init_oracle(tmp_path, monkeypatch):
     with pytest.raises(SystemExit, match="could not rebuild the torch oracle"):
         ingest_encoder.main()
     assert not out_dir.exists()
+
+
+class AvgPoolForeignEncoder(torch_nn.Module):
+    """Architecture OUTSIDE the ingest vocabulary: stride-1 conv + AvgPool(2)
+    downsampling (floor halving, unlike the conv chain's ceil halving).
+    Exists to exercise the opaque-module forward-hook probe."""
+
+    def __init__(self):
+        super().__init__()
+        chans = [1] + list(WIDTHS)
+        self.convs = torch_nn.ModuleList(
+            torch_nn.Conv2d(chans[i], chans[i + 1], 3, padding=1)
+            for i in range(len(WIDTHS))
+        )
+        t, m = T, M
+        for _ in WIDTHS:
+            t, m = t // 2, m // 2  # AvgPool2d(2) floor-halves
+        self.proj = torch_nn.Linear(t * m * WIDTHS[-1], DENSE)
+        self.head = torch_nn.Linear(DENSE, LATENT)
+
+    def forward(self, x):
+        for c in self.convs:
+            x = F.avg_pool2d(F.silu(c(x)), 2)
+        x = x.flatten(1)
+        return self.head(F.silu(self.proj(x)))
+
+
+def test_probe_frames_with_hook_opaque_module():
+    """The forward-hook probe recovers target_frames for (a) the known conv
+    chain and (b) an AvgPool module the closed form cannot model — the
+    reference's capability (ref:07:316-409)."""
+    from anuraxla.models.hydra_ingest import (
+        auto_find_frames,
+        probe_frames_with_hook,
+    )
+
+    torch.manual_seed(0)
+    # ceil-halving maps several T to the same bottleneck (45 and 48 both
+    # give 12 here); probe and closed form share the smallest-match
+    # convention, which is what the ingest cross-check relies on
+    enc = ForeignEncoder().eval()
+    probed = probe_frames_with_hook(enc, n_mels=M)
+    assert probed == auto_find_frames(
+        enc.proj.in_features, n_mels=M, widths=WIDTHS
+    )
+    # closed form has no AvgPool model; probe still finds T. Note multiple
+    # T can share a floor-halved bottleneck; the probe returns the SMALLEST,
+    # which is the convention the exactness check below pins.
+    probed = probe_frames_with_hook(AvgPoolForeignEncoder().eval(), n_mels=M)
+    t, m = probed, M
+    for _ in WIDTHS:
+        t, m = t // 2, m // 2
+    assert t * m * WIDTHS[-1] == AvgPoolForeignEncoder().proj.in_features
+
+    with pytest.raises(ValueError, match="no target_frames"):
+        probe_frames_with_hook(ForeignEncoder().eval(), n_mels=M, max_frames=16)
+
+
+def test_ingest_pickled_module_cross_checks_probe(tmp_path):
+    """A pickled runnable module: ingest cross-checks the closed-form frame
+    search against the real module's probe; an out-of-vocabulary pickled
+    module fails with an error carrying the probed target_frames."""
+    from anuraxla.models.hydra_ingest import (
+        UnsupportedLayerError,
+        ingest_foreign_checkpoint,
+    )
+
+    torch.manual_seed(0)
+    pt = tmp_path / "module.pt"
+    torch.save(ForeignEncoder(two_heads=True).eval(), pt)
+    cfg, params, meta = ingest_foreign_checkpoint(pt, n_mels=M, groups=GROUPS)
+    # smallest-match frames convention (45 ≡ 48 under ceil-halving here);
+    # the point is the probe cross-check PASSED on a runnable module
+    assert cfg.input_hw[1] == M
+    bt, bm = bottleneck_for(cfg.input_hw[0], M, len(WIDTHS))
+    assert bt * bm * WIDTHS[-1] == ForeignEncoder().proj.in_features
+
+    pt2 = tmp_path / "avgpool.pt"
+    torch.save(AvgPoolForeignEncoder().eval(), pt2)
+    with pytest.raises(UnsupportedLayerError, match="forward-hook probe"):
+        ingest_foreign_checkpoint(pt2, n_mels=M)
