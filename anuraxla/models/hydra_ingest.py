@@ -7,9 +7,12 @@ The reference needs the private ``soundscape_vae`` package at load time —
 ``instantiate(enc_cfg)`` returns a factory that is called once to get the
 nn.Module (``ref:map_detector_core.py:135-147``). This module removes that
 dependency for the documented layer vocabulary (3x3-Conv2d / GroupNorm /
-BatchNorm2d-folded / norm-free / Linear feed-forward stacks, the shape
-contract of ``ref:07:7-13``; anything else raises a named
-:class:`UnsupportedLayerError` instead of a downstream shape miss):
+BatchNorm2d-folded / norm-free / Linear feed-forward stacks, with either
+stride-2-pair or conv+AvgPool2d(2) downsampling — the shape contract of
+``ref:07:7-13``; anything else raises a named
+:class:`UnsupportedLayerError` instead of a downstream shape miss, and for
+runnable pickled modules the error carries the module's probed
+target_frames):
 
 - ``load_yaml_cfg`` / ``pick_encoder_cfg``: same YAML handling, interpolations
   deliberately NOT resolved (reference behavior).
@@ -27,6 +30,10 @@ contract of ``ref:07:7-13``; anything else raises a named
   re-running the encoder per candidate, the downsampling chain is known, so
   candidate ``target_frames`` are checked against the ingested dense layer's
   ``in_features`` in closed form.
+- ``probe_frames_with_hook``: the reference's probe ITSELF, for opaque
+  runnable modules — used to cross-check the closed form whenever the
+  checkpoint is a pickled nn.Module, and to make out-of-vocabulary
+  failures actionable.
 
 Ingested artifacts set ``conv_padding="TORCH"`` and ``gn_eps=1e-5`` on
 VAEConfig so the flax encoder reproduces torch Conv2d(padding=1) /
@@ -277,6 +284,38 @@ def _split_convs_and_linears(layers: List[Dict[str, Any]]):
     return convs, linears
 
 
+def _conv_chain_hypotheses(
+    convs: List[Dict[str, Any]], cin0: int = 1
+) -> List[Tuple[str, List[int]]]:
+    """Structurally valid (downsample, widths) readings of the conv channel
+    chain. "stride": per block a (cin->w) stride-2 conv then a (w->w)
+    stride-1 conv; "avgpool": one (cin->w) conv per block. A chain can fit
+    both (repeated widths) — the caller disambiguates via the bottleneck
+    arithmetic; stride (the native family) is listed first."""
+    hyps: List[Tuple[str, List[int]]] = []
+    if len(convs) % 2 == 0 and convs:
+        widths, cin, ok = [], cin0, True
+        for i in range(0, len(convs), 2):
+            c1, c2 = convs[i], convs[i + 1]
+            if c1["cin"] != cin or c2["cin"] != c1["out"] or c2["out"] != c1["out"]:
+                ok = False
+                break
+            widths.append(c1["out"])
+            cin = c1["out"]
+        if ok:
+            hyps.append(("stride", widths))
+    widths, cin, ok = [], cin0, True
+    for c in convs:
+        if c["cin"] != cin:
+            ok = False
+            break
+        widths.append(c["out"])
+        cin = c["out"]
+    if ok:
+        hyps.append(("avgpool", widths))
+    return hyps
+
+
 def _norm_mode(convs: List[Dict[str, Any]]) -> str:
     """'group' | 'none' from the per-conv norm kinds; mixed kinds error."""
     kinds = {(c["norm"] or {"kind": "none"})["kind"] if c["norm"] else "none"
@@ -312,23 +351,14 @@ def infer_vae_config_from_state_dict(
             f"state_dict outside the supported vocabulary: {len(convs)} conv "
             f"and {len(linears)} linear layers (need conv blocks + dense + heads)"
         )
-    if len(convs) % 2 != 0:
+    hyps = _conv_chain_hypotheses(convs)
+    if not hyps:
+        pairs = [f"({c['out']},{c['cin']})" for c in convs]
         raise UnsupportedLayerError(
-            f"expected stride-2/stride-1 conv pairs per block, got "
-            f"{len(convs)} convs (last: '{convs[-1]['name']}')"
+            f"conv channel chain {' '.join(pairs)} fits neither the stride "
+            "family (stride-2/stride-1 pairs per block) nor the avgpool "
+            "family (one conv per block)"
         )
-    widths = []
-    cin = 1
-    for i in range(0, len(convs), 2):
-        c1, c2 = convs[i], convs[i + 1]
-        if c1["cin"] != cin or c2["cin"] != c1["out"] or c2["out"] != c1["out"]:
-            raise UnsupportedLayerError(
-                f"conv chain mismatch at '{c1['name']}'/'{c2['name']}': "
-                f"({c1['out']},{c1['cin']}) then ({c2['out']},{c2['cin']}) "
-                f"(after cin={cin})"
-            )
-        widths.append(c1["out"])
-        cin = c1["out"]
     norm = _norm_mode(convs)
 
     dense = linears[0]
@@ -350,16 +380,34 @@ def infer_vae_config_from_state_dict(
     if groups is None:
         groups = _find_int_key(yaml_cfg or {}, ("num_groups", "groups")) or 8
 
-    t = auto_find_frames(dense["cin"], n_mels=n_mels, widths=widths)
-    return VAEConfig(
-        latent_dim=latent_dim,
-        widths=tuple(widths),
-        dense_width=dense["out"],
-        groups=int(groups),
-        input_hw=(t, n_mels),
-        conv_padding="TORCH",
-        gn_eps=1e-5,
-        norm=norm,
+    # pick the first hypothesis (stride preferred — the native family)
+    # whose frame search can actually explain the dense in_features; a
+    # repeated-width avgpool net can masquerade as stride pairs by shape,
+    # and the bottleneck arithmetic is what tells them apart. For runnable
+    # pickled modules, ingest_foreign_checkpoint additionally cross-checks
+    # against the real module's forward-hook probe.
+    errs = []
+    for downsample, widths in hyps:
+        try:
+            t = auto_find_frames(
+                dense["cin"], n_mels=n_mels, widths=widths, downsample=downsample
+            )
+        except ValueError as e:
+            errs.append(str(e))
+            continue
+        return VAEConfig(
+            latent_dim=latent_dim,
+            widths=tuple(widths),
+            dense_width=dense["out"],
+            groups=int(groups),
+            input_hw=(t, n_mels),
+            conv_padding="TORCH",
+            gn_eps=1e-5,
+            norm=norm,
+            downsample=downsample,
+        )
+    raise UnsupportedLayerError(
+        "no downsampling hypothesis explains the dense layer: " + "; ".join(errs)
     )
 
 
@@ -391,19 +439,22 @@ def auto_find_frames(
     start: int = 8,
     max_frames: int = 4096,
     step: int = 1,
+    downsample: str = "stride",
 ) -> int:
     """Find target_frames such that the flattened bottleneck matches the dense
     layer's in_features — the reference discovers this by re-running the
     encoder with a forward-pre-hook per candidate (``ref:07:355-409``); here
-    the downsampling chain is known, so each candidate is one multiply."""
+    the downsampling chain is known, so each candidate is one multiply.
+    ``downsample``: "stride" (ceil halving) or "avgpool" (floor halving)."""
     n_blocks, c_last = len(widths), widths[-1]
     for frames in range(max(8, start), max(start, max_frames) + 1, max(1, step)):
-        bt, bm = bottleneck_for(frames, n_mels, n_blocks)
+        bt, bm = bottleneck_for(frames, n_mels, n_blocks, downsample)
         if bt * bm * c_last == in_features:
             return frames
     raise ValueError(
         f"no target_frames in [{start}, {max_frames}] gives dense in_features="
-        f"{in_features} (n_mels={n_mels}, widths={list(widths)}); is n_mels right?"
+        f"{in_features} (n_mels={n_mels}, widths={list(widths)}, "
+        f"downsample={downsample}); is n_mels right?"
     )
 
 
@@ -538,10 +589,12 @@ def map_foreign_state_dict(
     state_dicts)."""
     layers = parse_layer_stream(sd)
     convs, linears = _split_convs_and_linears(layers)
-    if len(convs) != 2 * len(cfg.widths):
+    per_block = 1 if cfg.downsample == "avgpool" else 2
+    if len(convs) != per_block * len(cfg.widths):
         raise UnsupportedLayerError(
-            f"{len(convs)} convs in checkpoint vs {2 * len(cfg.widths)} in the "
-            f"target architecture {tuple(cfg.widths)}"
+            f"{len(convs)} convs in checkpoint vs {per_block * len(cfg.widths)} "
+            f"in the target architecture {tuple(cfg.widths)} "
+            f"(downsample={cfg.downsample})"
         )
     expected_norm = _norm_mode(convs)
     if expected_norm != cfg.norm:
@@ -559,8 +612,12 @@ def map_foreign_state_dict(
     cin = 1
     for i, w in enumerate(cfg.widths):
         blk: Dict[str, Any] = {}
-        for j, slot in ((0, "Conv_0"), (1, "Conv_1")):
-            conv = convs[2 * i + j]
+        slots = (
+            ((0, "Conv_0"),) if cfg.downsample == "avgpool"
+            else ((0, "Conv_0"), (1, "Conv_1"))
+        )
+        for j, slot in slots:
+            conv = convs[per_block * i + j]
             want_cin = cin if j == 0 else w
             check(
                 (conv["out"], conv["cin"]) == (w, want_cin),
@@ -577,7 +634,7 @@ def map_foreign_state_dict(
                 blk[f"GroupNorm_{j}"] = convert_groupnorm(n["scale"], n["bias"])
         params[f"EncoderBlock_{i}"] = blk
         cin = w
-    bt, bm = bottleneck_for(*cfg.input_hw, len(cfg.widths))
+    bt, bm = bottleneck_for(*cfg.input_hw, len(cfg.widths), cfg.downsample)
     flat = bt * bm * cfg.widths[-1]
     dense = linears[0]
     check((dense["out"], dense["cin"]) == (cfg.dense_width, flat),
@@ -662,6 +719,7 @@ def ingest_foreign_checkpoint(
         "yaml": str(yaml_path) if yaml_path else None,
         "target_frames": cfg.input_hw[0],
         "norm": cfg.norm,
+        "downsample": cfg.downsample,
         "n_tensors": len([k for k in sd if "num_batches_tracked" not in k]),
     }
     return cfg, params, meta

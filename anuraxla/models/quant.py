@@ -140,6 +140,12 @@ def quantize_encoder(params: Any, cfg: VAEConfig, calib_x: jax.Array | None = No
     row alone, so cached quantized latents stay a reproducible function of
     the ``_q8`` cache key regardless of batch size or batch-mates).
     """
+    if getattr(cfg, "downsample", "stride") != "stride":
+        raise NotImplementedError(
+            "int8 serving supports the native stride family only; "
+            f"downsample={cfg.downsample!r} (ingested avgpool checkpoints "
+            "serve in f32/bf16)"
+        )
     collect: dict = {}
     if calib_x is not None:
         encoder_forward_f32(params, cfg, calib_x, collect=collect)

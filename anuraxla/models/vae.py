@@ -30,12 +30,19 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 
-def bottleneck_for(t: int, m: int, n_blocks: int) -> tuple[int, int]:
-    """Output (T, M) after n_blocks stride-2 k3 convs — ceil halving per
-    block, identical for XLA SAME and torch padding=1. The ONE bottleneck
-    formula (config property and ingest shape search both use it)."""
+def bottleneck_for(
+    t: int, m: int, n_blocks: int, downsample: str = "stride"
+) -> tuple[int, int]:
+    """Output (T, M) after n_blocks of downsampling. "stride": stride-2 k3
+    convs — CEIL halving per block, identical for XLA SAME and torch
+    padding=1. "avgpool": AvgPool2d(2) — FLOOR halving (torch discards the
+    odd remainder). The ONE bottleneck formula (config property and ingest
+    shape search both use it)."""
     for _ in range(n_blocks):
-        t, m = -(-t // 2), -(-m // 2)
+        if downsample == "avgpool":
+            t, m = t // 2, m // 2
+        else:
+            t, m = -(-t // 2), -(-m // 2)
     return t, m
 
 
@@ -62,10 +69,15 @@ class VAEConfig:
     # runtime norm — used by hydra_ingest for BatchNorm checkpoints, where
     # the eval-mode BN affine is folded into the preceding conv's weights
     norm: str = "group"
+    # "stride" = per block a stride-2 + a stride-1 3x3 conv (the native
+    # architecture); "avgpool" = per block ONE stride-1 3x3 conv + norm +
+    # act + AvgPool2d(2) (floor halving) — the second real-world foreign-
+    # checkpoint family hydra_ingest accepts (torchvision-style encoders)
+    downsample: str = "stride"
 
     @property
     def bottleneck_hw(self) -> tuple[int, int]:
-        return bottleneck_for(*self.input_hw, len(self.widths))
+        return bottleneck_for(*self.input_hw, len(self.widths), self.downsample)
 
     @property
     def act(self):
@@ -84,6 +96,16 @@ class EncoderBlock(nn.Module):
     def __call__(self, x):
         cfg = self.cfg
         g = min(cfg.groups, self.width)
+        if cfg.downsample == "avgpool":
+            # one stride-1 k3 conv (torch padding=1 == SAME) + norm + act,
+            # then AvgPool2d(2): VALID 2x2/2 pooling floor-halves exactly
+            # like torch (the odd remainder row/column is dropped)
+            x = nn.Conv(self.width, (3, 3), strides=(1, 1), padding="SAME",
+                        dtype=cfg.dtype)(x)
+            if cfg.norm == "group":
+                x = nn.GroupNorm(num_groups=g, epsilon=cfg.gn_eps, dtype=cfg.dtype)(x)
+            x = cfg.act(x)
+            return nn.avg_pool(x, (2, 2), strides=(2, 2))
         x = nn.Conv(self.width, (3, 3), strides=(2, 2), padding=cfg.stride2_padding,
                     dtype=cfg.dtype)(x)
         if cfg.norm == "group":
