@@ -446,8 +446,62 @@ def _ct_outer_stage(
     return acc
 
 
+def _ct_outer_stage_fused(
+    inner, rhs_real_ref, rhs_cplx_ref, fbcat_ref, *, exact: bool, n_half: int
+):
+    """Concatenated-operand outer stage (fused_dots=True; tables from
+    _ct_tables_folded_cat): ONE wide matmul per r with the 3-pass split
+    structure and the x_im negation pre-folded into the RHS — same MACs,
+    ~6× fewer MXU ops issued and, more importantly here, the dot3h VPU
+    add-chains (2 adds per logical matmul) replaced by lane-concats.
+    ``inner`` is the lazy inner(r) provider."""
+    d = lambda x, y: jnp.dot(x, y, preferred_element_type=jnp.float32)  # noqa: E731
+    idx_real = idx_cplx = 0
+    acc = None
+    for r in range(n_half):
+        a_re, a_im = inner(r)
+        if exact:
+            ar_hi, ar_lo = _split_bf16(a_re)
+            if a_im is None:
+                Lh = jnp.concatenate([ar_hi, ar_hi, ar_lo], axis=1)
+                sl = slice(idx_real * 384, (idx_real + 1) * 384)
+                x = d(Lh, rhs_real_ref[sl, :])
+                idx_real += 1
+            else:
+                ai_hi, ai_lo = _split_bf16(a_im)
+                Lh = jnp.concatenate(
+                    [ar_hi, ar_hi, ar_lo, ai_hi, ai_hi, ai_lo], axis=1
+                )
+                sl = slice(idx_cplx * 768, (idx_cplx + 1) * 768)
+                x = d(Lh, rhs_cplx_ref[sl, :])
+                idx_cplx += 1
+        else:
+            ar = a_re.astype(jnp.bfloat16)
+            if a_im is None:
+                sl = slice(idx_real * 128, (idx_real + 1) * 128)
+                x = d(ar, rhs_real_ref[sl, :])
+                idx_real += 1
+            else:
+                L = jnp.concatenate([ar, a_im.astype(jnp.bfloat16)], axis=1)
+                sl = slice(idx_cplx * 256, (idx_cplx + 1) * 256)
+                x = d(L, rhs_cplx_ref[sl, :])
+                idx_cplx += 1
+        x_re, x_im = x[:, :128], x[:, 128:]
+        p = x_re * x_re + x_im * x_im
+        if exact:
+            p_hi, p_lo = _split_bf16(p)
+            Lp = jnp.concatenate([p_hi, p_hi, p_lo], axis=1)
+            contrib = d(Lp, fbcat_ref[r * 384 : (r + 1) * 384, :])
+        else:
+            contrib = d(
+                p.astype(jnp.bfloat16), fbcat_ref[r * 128 : (r + 1) * 128, :]
+            )
+        acc = contrib if acc is None else acc + contrib
+    return acc
+
+
 def _mel_power_ctp_kernel(
-    *refs,  # W2 hop-row refs [rb,1,*,h128*128], [scale], 7 table refs, out
+    *refs,  # W2 hop-row refs [rb,1,*,h128*128], [scale], table refs, out
     n_fft: int,
     exact: bool,
     W2: int,
@@ -455,6 +509,7 @@ def _mel_power_ctp_kernel(
     rb: int,
     with_scale: bool,
     interleave: bool = True,
+    fused: bool = False,
 ):
     """Phase-sliced CT mel kernel for hop % 128 == 0 — ZERO frame assembly
     and ZERO host staging. The padded signal is VIEWED (free reshape) as
@@ -485,12 +540,18 @@ def _mel_power_ctp_kernel(
         # blocks even in SMEM) — rows picked via program_id below
         scale_ref = refs[base]
         base += 1
-    win_ref, chi_ref, clo_ref, shi_ref, slo_ref, fbhi_ref, fblo_ref = refs[
-        base : base + 7
-    ]
-    out_ref = refs[base + 7]
+    if fused:
+        win_ref, rhs_real_ref, rhs_cplx_ref, fbcat_ref = refs[base : base + 4]
+        out_ref = refs[base + 4]
+        K1 = 3 * 128 if exact else 128
+        n_half_f = fbcat_ref.shape[0] // K1
+    else:
+        win_ref, chi_ref, clo_ref, shi_ref, slo_ref, fbhi_ref, fblo_ref = refs[
+            base : base + 7
+        ]
+        out_ref = refs[base + 7]
+        n_half = chi_ref.shape[0] // 128
     R = n_fft // 128
-    n_half = chi_ref.shape[0] // 128
     qmax = (R - 1) // h128
     qpad = _round_up(qmax, 8) if qmax > 0 else 0
 
@@ -521,10 +582,16 @@ def _mel_power_ctp_kernel(
             for n1 in range(R)
         ]
         inner = _inner_dft16(blocks) if R == 16 else _inner_dft_generic(blocks, R)
-        acc = _ct_outer_stage(
-            inner, chi_ref, clo_ref, shi_ref, slo_ref, fbhi_ref, fblo_ref,
-            exact=exact, n_half=n_half, interleave=interleave,
-        )
+        if fused:
+            acc = _ct_outer_stage_fused(
+                inner, rhs_real_ref, rhs_cplx_ref, fbcat_ref,
+                exact=exact, n_half=n_half_f,
+            )
+        else:
+            acc = _ct_outer_stage(
+                inner, chi_ref, clo_ref, shi_ref, slo_ref, fbhi_ref, fblo_ref,
+                exact=exact, n_half=n_half, interleave=interleave,
+            )
         out_ref[r_i, :, :] = acc
 
 
@@ -643,50 +710,10 @@ def _mel_power_ct_kernel(
     inner = _inner_dft16(blocks) if R == 16 else _inner_dft_generic(blocks, R)
 
     if fused:
-        # concatenated-operand path (_ct_tables_folded_cat): one wide matmul
-        # per r (split structure + x_im negation pre-folded into the RHS) —
-        # same MACs, ~6x fewer MXU ops issued
-        idx_real = idx_cplx = 0
-        acc = None
-        for r in range(n_half):
-            a_re, a_im = inner(r)
-            if exact:
-                ar_hi, ar_lo = _split_bf16(a_re)
-                if a_im is None:
-                    Lh = jnp.concatenate([ar_hi, ar_hi, ar_lo], axis=1)
-                    sl = slice(idx_real * 384, (idx_real + 1) * 384)
-                    x = d(Lh, rhs_real_ref[sl, :])
-                    idx_real += 1
-                else:
-                    ai_hi, ai_lo = _split_bf16(a_im)
-                    Lh = jnp.concatenate(
-                        [ar_hi, ar_hi, ar_lo, ai_hi, ai_hi, ai_lo], axis=1
-                    )
-                    sl = slice(idx_cplx * 768, (idx_cplx + 1) * 768)
-                    x = d(Lh, rhs_cplx_ref[sl, :])
-                    idx_cplx += 1
-            else:
-                ar = a_re.astype(jnp.bfloat16)
-                if a_im is None:
-                    sl = slice(idx_real * 128, (idx_real + 1) * 128)
-                    x = d(ar, rhs_real_ref[sl, :])
-                    idx_real += 1
-                else:
-                    L = jnp.concatenate([ar, a_im.astype(jnp.bfloat16)], axis=1)
-                    sl = slice(idx_cplx * 256, (idx_cplx + 1) * 256)
-                    x = d(L, rhs_cplx_ref[sl, :])
-                    idx_cplx += 1
-            x_re, x_im = x[:, :128], x[:, 128:]
-            p = x_re * x_re + x_im * x_im
-            if exact:
-                p_hi, p_lo = _split_bf16(p)
-                Lp = jnp.concatenate([p_hi, p_hi, p_lo], axis=1)
-                contrib = d(Lp, fbcat_ref[r * 384 : (r + 1) * 384, :])
-            else:
-                contrib = d(
-                    p.astype(jnp.bfloat16), fbcat_ref[r * 128 : (r + 1) * 128, :]
-                )
-            acc = contrib if acc is None else acc + contrib
+        acc = _ct_outer_stage_fused(
+            inner, rhs_real_ref, rhs_cplx_ref, fbcat_ref,
+            exact=exact, n_half=n_half,
+        )
         if rb == 1:
             out_ref[0, :, :] = acc
         else:
@@ -815,8 +842,12 @@ def mel_power_pallas(
         or (
             assembly == "auto"
             and hop % 128 == 0
-            and not fused_dots
             and tile_t in (None, TILE_T)
+            # fused_dots on the PHASE kernel fails real-Mosaic compile
+            # (HTTP 500 in the remote compiler; interpret mode is fine) —
+            # measured r3, see docs/KERNELS.md. auto routes fused sweeps to
+            # the stack kernel; explicit assembly='phase' still attempts it.
+            and not fused_dots
         )
     )
     if pre_padded and not use_phase:
@@ -840,15 +871,20 @@ def mel_power_pallas(
             raise NotImplementedError(
                 f"assembly='phase' needs hop % 128 == 0, got hop={hop}"
             )
-        if tile_t not in (None, TILE_T) or fused_dots:
+        if tile_t not in (None, TILE_T):
             raise ValueError(
-                "assembly='phase' supports only tile_t=128 and "
-                "fused_dots=False (pass assembly='stack' to sweep those)"
+                "assembly='phase' supports only tile_t=128 "
+                "(pass assembly='stack' to sweep tile sizes)"
             )
         h128 = hop // 128
         R = n_fft // 128
         if row_block is None:
-            rb = 4 if B % 4 == 0 else (2 if B % 2 == 0 else 1)
+            # r3 on-chip sweep (scripts/probe_phase_variants.py, pre-padded
+            # input): rb=8 22.84 ms / rb=4 22.93 / rb=2 25.33 per 1024-batch,
+            # bitwise-identical output — unlike the stack kernel, rb=8
+            # compiles on the phase kernel (no frames scratch to blow VMEM).
+            # Adaptive so tiny/odd batches don't pay padding for the default.
+            rb = next((r for r in (8, 4, 2) if B % r == 0), 1)
         else:
             rb = row_block
         qmax = (R - 1) // h128
@@ -879,21 +915,31 @@ def mel_power_pallas(
         # ONLY host-side data movement (signal-sized; ~0.4% of the frames
         # matrix the XLA path materializes)
         yv = y_pad.reshape(B_pad, n_mrows, TILE_T, h128 * 128)
-        (chi, clo), (shi, slo), (fbhi, fblo), win = _ct_tables_folded(
-            cfg.sr, n_fft, cfg.n_mels, cfg.fmin, cfg.fmax
-        )
-        table_args = [
-            jnp.asarray(win), jnp.asarray(chi), jnp.asarray(clo),
-            jnp.asarray(shi), jnp.asarray(slo), jnp.asarray(fbhi),
-            jnp.asarray(fblo),
-        ]
+        fused = bool(fused_dots)
+        if fused:
+            win, rhs_real, rhs_cplx, fbcat = _ct_tables_folded_cat(
+                cfg.sr, n_fft, cfg.n_mels, cfg.fmin, cfg.fmax, exact
+            )
+            table_args = [
+                jnp.asarray(win), jnp.asarray(rhs_real),
+                jnp.asarray(rhs_cplx), jnp.asarray(fbcat),
+            ]
+        else:
+            (chi, clo), (shi, slo), (fbhi, fblo), win = _ct_tables_folded(
+                cfg.sr, n_fft, cfg.n_mels, cfg.fmin, cfg.fmax
+            )
+            table_args = [
+                jnp.asarray(win), jnp.asarray(chi), jnp.asarray(clo),
+                jnp.asarray(shi), jnp.asarray(slo), jnp.asarray(fbhi),
+                jnp.asarray(fblo),
+            ]
         n_half = R // 2 + 1
         assert W2 <= 2, f"phase kernel assumes qmax < TILE_T, got qmax={qmax}"
         qpad = _round_up(qmax, 8) if qmax > 0 else 0
         kernel = functools.partial(
             _mel_power_ctp_kernel, n_fft=n_fft, exact=exact, W2=W2,
             h128=h128, rb=rb, with_scale=rms_scale is not None,
-            interleave=interleave,
+            interleave=interleave, fused=fused,
         )
         base_spec = lambda shape: pl.BlockSpec(  # noqa: E731
             shape, lambda b, tt: (0,) * len(shape), memory_space=pltpu.VMEM

@@ -331,3 +331,20 @@ def test_log_mel_pre_padded_fallback_slices_valid_region(rng):
     got = np.asarray(log_mel_batch(jnp.asarray(ypad), cfg, backend="matmul",
                                    pre_padded=True))
     np.testing.assert_array_equal(got, ref)
+
+
+@pytest.mark.parametrize("exact", [True, False])
+def test_phase_kernel_fused_dots(rng, exact):
+    """fused_dots on the phase kernel (concatenated-operand outer stage):
+    matches the plain phase kernel within the split-structure tolerance."""
+    cfg = MelConfig(sr=48000, duration=1.0, n_mels=64, fmin=150, fmax=15000,
+                    hop_length=384, n_fft=2048, target_frames=96)
+    y = (0.1 * rng.standard_normal((2, cfg.num_samples))).astype(np.float32)
+    T = cfg.total_frames
+    ref = np.asarray(mel_power_pallas(jnp.asarray(y), cfg, num_frames=T,
+                                      interpret=True, algorithm="ct"))
+    got = np.asarray(mel_power_pallas(jnp.asarray(y), cfg, num_frames=T,
+                                      interpret=True, algorithm="ct",
+                                      fused_dots=True, exact=exact))
+    err = np.abs(got - ref).max() / np.abs(ref).max()
+    assert err < (1e-5 if exact else 5e-3)
