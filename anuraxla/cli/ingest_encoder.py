@@ -32,6 +32,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="rebuild the torch module from the YAML _target_ tree "
                    "and require latent parity before saving")
     p.add_argument("--tol", type=float, default=1e-4)
+    p.add_argument("--downsample", choices=["auto", "stride", "avgpool"],
+                   default="auto",
+                   help="force the downsampling reading for ambiguous bare "
+                   "state_dicts (repeated-width avgpool chains can also parse "
+                   "as stride pairs; pickled runnable modules disambiguate "
+                   "themselves via the forward-hook probe)")
     return p
 
 
@@ -41,7 +47,8 @@ def main() -> None:
     from anuraxla.models.hydra_ingest import ingest_foreign_checkpoint
 
     cfg, params, meta = ingest_foreign_checkpoint(
-        args.pt, args.yaml, n_mels=args.n_mels, groups=args.groups
+        args.pt, args.yaml, n_mels=args.n_mels, groups=args.groups,
+        downsample=None if args.downsample == "auto" else args.downsample,
     )
     print(f"🔍 inferred: widths={list(cfg.widths)} dense={cfg.dense_width} "
           f"latent={cfg.latent_dim} groups={cfg.groups}")

@@ -336,6 +336,8 @@ def infer_vae_config_from_state_dict(
     n_mels: int = 64,
     groups: Optional[int] = None,
     yaml_cfg: Optional[Mapping[str, Any]] = None,
+    downsample: Optional[str] = None,
+    probed_frames: Optional[int] = None,
 ) -> VAEConfig:
     """Derive the ConvVAEEncoder-compatible architecture from tensor shapes
     alone: conv pairs give widths, the first 2-D tensor gives dense_width,
@@ -380,34 +382,65 @@ def infer_vae_config_from_state_dict(
     if groups is None:
         groups = _find_int_key(yaml_cfg or {}, ("num_groups", "groups")) or 8
 
-    # pick the first hypothesis (stride preferred — the native family)
-    # whose frame search can actually explain the dense in_features; a
-    # repeated-width avgpool net can masquerade as stride pairs by shape,
-    # and the bottleneck arithmetic is what tells them apart. For runnable
-    # pickled modules, ingest_foreign_checkpoint additionally cross-checks
-    # against the real module's forward-hook probe.
-    errs = []
-    for downsample, widths in hyps:
+    # Evaluate EVERY structurally valid hypothesis against the dense
+    # layer's in_features. A repeated-width avgpool net can masquerade as
+    # stride pairs by shape AND by arithmetic (e.g. chain 1→8,8→8,8→16,
+    # 16→16 with in_features=1024: avgpool t=512 and stride t=29 both
+    # explain it), so ambiguity is resolved, in order, by: the explicit
+    # ``downsample`` override (--downsample on the CLI), the runnable
+    # module's forward-hook probe (``probed_frames`` — the closed form
+    # under the TRUE hypothesis finds the same smallest t the probe
+    # measures), else prefer stride (the native family) with a LOUD
+    # warning naming the alternative reading.
+    if downsample is not None:
+        hyps = [(ds, w) for ds, w in hyps if ds == downsample]
+        if not hyps:
+            raise UnsupportedLayerError(
+                f"the conv chain does not fit downsample={downsample!r}"
+            )
+    matches, errs = [], []
+    for ds, widths in hyps:
         try:
             t = auto_find_frames(
-                dense["cin"], n_mels=n_mels, widths=widths, downsample=downsample
+                dense["cin"], n_mels=n_mels, widths=widths, downsample=ds
             )
         except ValueError as e:
             errs.append(str(e))
             continue
-        return VAEConfig(
-            latent_dim=latent_dim,
-            widths=tuple(widths),
-            dense_width=dense["out"],
-            groups=int(groups),
-            input_hw=(t, n_mels),
-            conv_padding="TORCH",
-            gn_eps=1e-5,
-            norm=norm,
-            downsample=downsample,
+        matches.append((ds, widths, t))
+    if probed_frames is not None:
+        probe_hits = [m for m in matches if m[2] == probed_frames]
+        if not probe_hits:
+            raise UnsupportedLayerError(
+                f"no downsampling hypothesis reproduces the module's probed "
+                f"target_frames={probed_frames} (candidates: "
+                f"{[(ds, t) for ds, _, t in matches] or errs})"
+            )
+        matches = probe_hits
+    if not matches:
+        raise UnsupportedLayerError(
+            "no downsampling hypothesis explains the dense layer: "
+            + "; ".join(errs)
         )
-    raise UnsupportedLayerError(
-        "no downsampling hypothesis explains the dense layer: " + "; ".join(errs)
+    if len(matches) > 1:
+        alt = ", ".join(f"{ds} (target_frames={t})" for ds, _, t in matches[1:])
+        print(
+            f"⚠️ ambiguous checkpoint: picking downsample={matches[0][0]!r} "
+            f"(target_frames={matches[0][2]}); the weights also fit {alt}. "
+            "Pass --downsample (or ingest the pickled module, whose probe "
+            "disambiguates) if this is wrong."
+        )
+    ds, widths, t = matches[0]
+    return VAEConfig(
+        latent_dim=latent_dim,
+        widths=tuple(widths),
+        dense_width=dense["out"],
+        groups=int(groups),
+        input_hw=(t, n_mels),
+        conv_padding="TORCH",
+        gn_eps=1e-5,
+        norm=norm,
+        downsample=ds,
     )
 
 
@@ -671,48 +704,42 @@ def ingest_foreign_checkpoint(
     n_mels: int = 64,
     groups: Optional[int] = None,
     bn_eps: float = 1e-5,
+    downsample: Optional[str] = None,
 ) -> Tuple[VAEConfig, Dict[str, Any], Dict[str, Any]]:
     """torch checkpoint (+optional Hydra YAML) -> (VAEConfig, flax params,
     meta). The YAML contributes hyperparameter hints (groups); architecture,
     norm family (GroupNorm kept / BatchNorm folded / norm-free) and
-    target_frames come from the state_dict shapes."""
+    target_frames come from the state_dict shapes. ``downsample`` forces
+    the stride/avgpool reading for ambiguous bare state_dicts; runnable
+    pickled modules are probed FIRST (ref:07:316-409) and the probe
+    disambiguates + validates the shape inference."""
     import torch
 
     ckpt = torch.load(str(pt_path), map_location="cpu", weights_only=False)
     sd = split_model_and_state(ckpt)
     yaml_cfg = load_yaml_cfg(yaml_path) if yaml_path else None
-    runnable = isinstance(ckpt, torch.nn.Module)
+    probed: Optional[int] = None
+    if isinstance(ckpt, torch.nn.Module):
+        try:
+            probed = probe_frames_with_hook(ckpt, n_mels=n_mels)
+        except Exception:
+            probed = None  # unprobeable module: fall back to shapes alone
     try:
         cfg = infer_vae_config_from_state_dict(
-            sd, n_mels=n_mels, groups=groups, yaml_cfg=yaml_cfg
+            sd, n_mels=n_mels, groups=groups, yaml_cfg=yaml_cfg,
+            downsample=downsample, probed_frames=probed,
         )
     except (UnsupportedLayerError, ValueError) as e:
-        if runnable:
+        if probed is not None:
             # the module RUNS even though its weights are outside the ingest
-            # vocabulary — probe it the reference's way so the error carries
-            # the one fact a user needs to wire it up manually
-            try:
-                probed = probe_frames_with_hook(ckpt, n_mels=n_mels)
-            except Exception:
-                raise e  # probe couldn't run either; original error stands
+            # vocabulary — the error carries the one fact a user needs to
+            # wire it up manually
             raise UnsupportedLayerError(
                 f"{e} — the pickled module itself runs (forward-hook probe: "
                 f"target_frames={probed} at n_mels={n_mels}), but its "
                 "architecture is outside the ingest vocabulary"
             ) from e
         raise
-    if runnable:
-        # cross-check the closed-form frame search against the real module
-        # (ref:07:316-409 semantics): a mismatch means the state-dict shape
-        # inference mapped onto the wrong architecture — fail loudly instead
-        # of producing silently wrong latents
-        probed = probe_frames_with_hook(ckpt, n_mels=n_mels)
-        if probed != cfg.input_hw[0]:
-            raise UnsupportedLayerError(
-                f"closed-form target_frames={cfg.input_hw[0]} disagrees with "
-                f"the module's forward-hook probe ({probed}) — the checkpoint "
-                "downsamples differently than the inferred conv chain"
-            )
     params = map_foreign_state_dict(sd, cfg, bn_eps=bn_eps)
     meta = {
         "source": str(pt_path),

@@ -27,7 +27,12 @@ import jax
 import jax.numpy as jnp
 
 from anuraxla.constants import RMS_EPS, RMS_SILENCE_GATE, RMS_TARGET, MelConfig
-from anuraxla.ops.mel import crop_or_pad_time, mel_filterbank, power_to_db, standardize
+from anuraxla.ops.mel import (
+    STANDARDIZE_EPS,
+    crop_or_pad_time,
+    mel_filterbank,
+    power_to_db,
+)
 from anuraxla.ops.stft import stft_power
 
 
@@ -63,7 +68,6 @@ def rms_scale_batch(
     target_rms: float = RMS_TARGET,
     rms_min: float = RMS_SILENCE_GATE,
     eps: float = RMS_EPS,
-    num_valid: int | None = None,
 ) -> jax.Array:
     """Per-row fused-normalization scale for ``log_mel_batch(rms_scale=...)``.
 
@@ -74,14 +78,12 @@ def rms_scale_batch(
     folded into the Pallas mel kernel's VMEM tile (or applied inline by the
     XLA path), saving a signal-sized HBM write + re-read per batch.
 
-    ``num_valid``: for PRE-PADDED rows (the zero-copy kernel layout, see
-    ``pallas_padded_len``) — the zero padding contributes nothing to the
-    sum of squares, so the true RMS over the original ``num_valid`` samples
-    is recovered by fixing the denominator.
+    For PRE-PADDED rows (pallas_frontend.phase_padded_layout) pass the
+    SLICED valid region, not the padded row: the slice reads fewer bytes
+    AND keeps the reduction tree — and therefore the latents and caches —
+    bitwise identical to the unpadded path (session.py does this).
     """
-    sumsq = jnp.sum(y * y, axis=-1)
-    n = float(num_valid if num_valid is not None else y.shape[-1])
-    rms = jnp.sqrt(sumsq / n)
+    rms = jnp.sqrt(jnp.mean(y * y, axis=-1))
     return jnp.where(rms >= rms_min, target_rms / (rms + eps), -1.0)
 
 
@@ -104,6 +106,30 @@ def rms_normalize_np(
     import numpy as np
 
     return _rms_normalize_impl(np, y, target_rms, rms_min, eps)
+
+
+def resolved_backend(cfg: MelConfig, backend: str) -> str:
+    """The frontend whose MATH will actually run for (cfg, backend) on this
+    host — the Pallas backends fall back to the XLA matmul path when (a)
+    the fused kernels' lane-alignment contracts don't hold (hop outside the
+    %32/%16 families, e.g. 441), or (b) there is no TPU (Mosaic kernels
+    only interpret on CPU — a test vehicle, not a serving path).
+    "pallas-bf16" keeps its reduced-precision intent on fallback by running
+    the matmuls at the MXU's native bf16 precision ("matmul-bf16").
+
+    The latent-cache fingerprint (pipeline.session.session_fingerprint)
+    encodes THIS value, not the requested name: pallas-exact and matmul
+    agree to ~3e-7, not bitwise, so a key naming the requested backend
+    would silently mix two numerically different frontends across hosts
+    (CLAUDE.md cache-key invariant)."""
+    if backend in ("pallas", "pallas-bf16"):
+        from anuraxla.ops.pallas_frontend import pallas_supported
+
+        if not pallas_supported(cfg) or jax.default_backend() not in (
+            "tpu", "axon"
+        ):
+            return "matmul-bf16" if backend == "pallas-bf16" else "matmul"
+    return backend
 
 
 @partial(jax.jit, static_argnames=("cfg", "parity", "backend", "pre_padded"))
@@ -146,23 +172,10 @@ def log_mel_batch(
         num_frames = min(cfg.target_frames, total)
         first = max(0, (total - cfg.target_frames) // 2)
 
+    backend = resolved_backend(cfg, backend)
     prec = jax.lax.Precision.HIGHEST
-    if backend in ("pallas", "pallas-bf16"):
-        from anuraxla.ops.pallas_frontend import pallas_supported
-
-        if not pallas_supported(cfg) or jax.default_backend() not in (
-            "tpu", "axon"
-        ):
-            # fall back to the XLA matmul path (same math; "pallas" stays a
-            # safe default everywhere) when (a) the fused kernels'
-            # lane-alignment contracts don't hold (hop outside the %32/%16
-            # families, e.g. 441), or (b) there is no TPU — Mosaic kernels
-            # only interpret on CPU, which is a test vehicle, not a serving
-            # path. pallas-bf16 keeps its reduced-precision/speed intent by
-            # running the fallback matmuls at the MXU's native bf16 precision.
-            if backend == "pallas-bf16":
-                prec = jax.lax.Precision.DEFAULT
-            backend = "matmul"
+    if backend == "matmul-bf16":
+        backend, prec = "matmul", jax.lax.Precision.DEFAULT
     if backend in ("pallas", "pallas-bf16"):
         # fused framing+DFT+power+mel kernel (ops.pallas_frontend); computes
         # from frame 0, so the fast path slices afterwards
@@ -218,9 +231,9 @@ def log_mel_batch(
     std = jnp.std(S_db, axis=(-2, -1), keepdims=True)
     if S_db.shape[-2] >= cfg.target_frames:
         S_crop = crop_or_pad_time(S_db, cfg.target_frames)
-        return (S_crop - mean) / (std + 1e-8)
+        return (S_crop - mean) / (std + STANDARDIZE_EPS)
     # short clips pad AFTER normalizing — the pad must stay exact zeros
-    return crop_or_pad_time((S_db - mean) / (std + 1e-8), cfg.target_frames)
+    return crop_or_pad_time((S_db - mean) / (std + STANDARDIZE_EPS), cfg.target_frames)
 
 
 def mel_to_encoder_input(mel_tm: jax.Array) -> jax.Array:

@@ -86,7 +86,12 @@ def power_to_db(
     return log_spec
 
 
-def standardize(S_db: jax.Array, eps: float = 1e-8) -> jax.Array:
+# the reference's standardization epsilon (map_detector_core.py:232) — the
+# ONE constant; log_mel_batch's stats-first epilogue must use the same value
+STANDARDIZE_EPS = 1e-8
+
+
+def standardize(S_db: jax.Array, eps: float = STANDARDIZE_EPS) -> jax.Array:
     """Global per-example standardization (``map_detector_core.py:232``):
     (x - mean) / (std + eps), statistics over the full [T, M] plane, ddof=0."""
     mean = jnp.mean(S_db, axis=(-2, -1), keepdims=True)

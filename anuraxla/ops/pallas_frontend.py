@@ -210,8 +210,6 @@ def _ct_tables_folded_cat(
     """
     import ml_dtypes
 
-    from anuraxla.ops.stft import hann_window
-
     R = n_fft // 128
     n_half = R // 2 + 1
     (chi, clo), (shi, slo), (fbhi, fblo), win = _ct_tables_folded(
@@ -410,6 +408,13 @@ def _ct_outer_stage(
     d = lambda x, y: jnp.dot(x, y, preferred_element_type=jnp.float32)  # noqa: E731
 
     def dot3h(a_split, b_hi, b_lo):
+        """~f32-accurate matmul as THREE native bf16 MXU passes (hi·hi +
+        hi·lo + lo·hi, f32 accumulation; the dropped lo·lo term is ~2^-32
+        relative). Mosaic lowers only DEFAULT/HIGHEST dot precisions;
+        HIGHEST is a 6-pass f32 emulation, so the manual split halves
+        exact-mode MXU time — measured ~6e-6 max relative error vs the XLA
+        HIGHEST oracle on the mel power (≈3e-5 dB). RHS tables arrive
+        pre-split from the host."""
         a_hi, a_lo = a_split
         return d(a_hi, b_hi) + d(a_hi, b_lo) + d(a_lo, b_hi)
 
@@ -662,22 +667,10 @@ def _mel_power_ct_kernel(
     s2 = y_refs[0].shape[4]
     stride = 8 * s2
     g = 128 // k_copies  # lane-phase granule = gcd(hop, 128)
-    d = lambda x, y: jnp.dot(x, y, preferred_element_type=jnp.float32)  # noqa: E731
-
-    def dot3h(a_split, b_hi, b_lo):
-        """~f32-accurate matmul as THREE native bf16 MXU passes (hi·hi +
-        hi·lo + lo·hi, f32 accumulation; the dropped lo·lo term is ~2^-32
-        relative). Mosaic lowers only DEFAULT/HIGHEST dot precisions;
-        HIGHEST is a 6-pass f32 emulation, so the manual split halves
-        exact-mode MXU time — measured ~6e-6 max relative error vs the XLA
-        HIGHEST oracle on the mel power (≈3e-5 dB). RHS tables arrive
-        pre-split from the host."""
-        a_hi, a_lo = a_split
-        return d(a_hi, b_hi) + d(a_hi, b_lo) + d(a_lo, b_hi)
 
     # Flatten each copy's W [8, s2] stride-rows into one [W*stride] window
     # per grid step. The per-ref reshape and the single concatenation (at
-    # stride boundaries — always lane-aligned since stride = TILE_T*hop
+    # stride boundaries — always lane-aligned since stride = tile_t*hop
     # with hop % 32 == 0) are Mosaic-legal; per-frame multi-piece
     # concatenation across sublane rows is not ("input offsets outside the
     # first tile"). Every frame window is then a pure 1-D lane-aligned
@@ -814,8 +807,10 @@ def mel_power_pallas(
 
     B, L = y.shape
     n_fft, hop = cfg.n_fft, cfg.hop_length
-    ct_ok = n_fft % 128 == 0 and n_fft >= 256 and hop % 32 == 0
-    dense_ok = (8 * hop) % 128 == 0  # window slices at i8·8·hop lane-aligned
+    # ONE support gate (pallas_supported) for this raise and log_mel_batch's
+    # fallback decision — they must never disagree
+    ct_ok = pallas_supported(cfg, "ct")
+    dense_ok = pallas_supported(cfg, "dense")
     if algorithm == "auto":
         if ct_ok:
             algorithm = "ct"
@@ -892,8 +887,10 @@ def mel_power_pallas(
         n_t_tiles = -(-num_frames // TILE_T)
         t_pad = n_t_tiles * TILE_T
         n_mrows = n_t_tiles - 1 + W2
-        L_pad = n_mrows * TILE_T * hop
-        pad_l = n_fft // 2
+        # the ONE layout formula — host decoders build rows from
+        # phase_padded_layout, so the kernel must derive L_pad identically
+        L_pad, pad_l = phase_padded_layout(cfg, num_frames)
+        assert L_pad == n_mrows * TILE_T * hop
         if pre_padded:
             if L != L_pad:
                 raise ValueError(

@@ -322,27 +322,42 @@ def sharded_quantile(
         c_hi, _ = _count_le_min_above(d, mask, hi)
         hi = jnp.where(c_hi >= r1 + 1, hi, hi0)
 
+        # Loop state carries the exactness certificate (s = min{x > lo},
+        # c_s = count(x ≤ s)) instead of the cond re-deriving it: the cond
+        # becomes pass-free and each iteration costs TWO data passes
+        # (count/min at the midpoint + count at the new s) instead of three
+        # — _count_le_min_above returns both the count and the min-above in
+        # one pass, so the midpoint's s comes free when the bisection takes
+        # the lower half.
+        _, s0 = _count_le_min_above(d, mask, lo)
+        c_s0, _ = _count_le_min_above(d, mask, s0)
+
         def cond(state):
-            lo, hi, it = state
-            _, s = _count_le_min_above(d, mask, lo)
-            c_s, _ = _count_le_min_above(d, mask, s)
+            lo, hi, s, c_s, it = state
             exact = c_s >= r1 + 1  # min{x>lo} already IS x_(r1)
             return jnp.logical_and(it < max_bisect, ~jnp.all(exact | (n == 0)))
 
         def body(state):
-            lo, hi, it = state
+            lo, hi, s, c_s, it = state
             m = 0.5 * (lo + hi)
-            c, _ = _count_le_min_above(d, mask, m)
-            take_lo = c <= r1
+            c_m, s_m = _count_le_min_above(d, mask, m)
+            take_lo = c_m <= r1
+            s_new = jnp.where(take_lo, s_m, s)
+            c_new, _ = _count_le_min_above(d, mask, s_new)
             return (
                 jnp.where(take_lo, m, lo),
                 jnp.where(take_lo, hi, m),
+                s_new,
+                c_new,
                 it + 1,
             )
 
-        lo, hi, _ = jax.lax.while_loop(cond, body, (lo, hi, jnp.int32(0)))
-        _, s1 = _count_le_min_above(d, mask, lo)  # x_(r1), exact
-        c_s1, above_s1 = _count_le_min_above(d, mask, s1)
+        lo, hi, s1, c_s1, _ = jax.lax.while_loop(
+            cond, body, (lo, hi, s0, c_s0, jnp.int32(0))
+        )
+        # s1 = min{x > lo} = x_(r1) (exact on loop exit); one more pass for
+        # its successor order statistic
+        _, above_s1 = _count_le_min_above(d, mask, s1)
         s2 = jnp.where(c_s1 >= r1 + 2, s1, above_s1)  # x_(r1+1)
         res = jnp.where(frac > 0, s1 * (1.0 - frac) + s2 * frac, s1)
         return jnp.where(n > 0, res, jnp.float32(empty_fill))

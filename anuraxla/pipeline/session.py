@@ -130,8 +130,8 @@ class EncoderSession:
                 if layout is not None:
                     # reduce over the sliced valid region: bitwise the same
                     # scale (and so the same latents/caches) as the
-                    # unpadded path — num_valid's padded-sum shortcut has a
-                    # different reduction tree (last-ulp drift)
+                    # unpadded path — a padded-row reduction would have a
+                    # different tree (last-ulp drift)
                     _, off = layout
                     valid = jax.lax.slice_in_dim(
                         audio, off, off + mel_cfg.num_samples, axis=1
@@ -319,9 +319,16 @@ def session_fingerprint(session: EncoderSession) -> str:
         arch = "_a" + hashlib.blake2b(
             json.dumps(d, sort_keys=True).encode(), digest_size=6
         ).hexdigest()
+    # the EFFECTIVE backend, post-fallback (ops.frontend.resolved_backend):
+    # 'pallas' on a CPU-only host runs matmul math (~3e-7 rel different
+    # from the kernel), so keying the cache by the requested name would
+    # mix two numerically different frontends across hosts
+    from anuraxla.ops.frontend import resolved_backend
+
+    eff_backend = resolved_backend(session.mel, session.backend)
     fp = (
         f"{mel_fingerprint(session.mel)}_p{int(session.parity)}"
-        f"_{session.backend}_e{digest}{arch}"
+        f"_{eff_backend}_e{digest}{arch}"
         + ("_q8" if getattr(session, "quantize", False) else "")
         # int16 link transfer quantizes float/resampled/mixdown sources — it
         # changes latents, so it must split the cache key

@@ -16,41 +16,10 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import json
-import sys
-import time
-from pathlib import Path
 
 import numpy as np
 
-sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
-
-GROUP = 8
-
-
-def measure(fn, arg, measure_s):
-    import jax  # noqa: F401
-
-    float(fn(arg))
-
-    def run_group():
-        acc = fn(arg)
-        for _ in range(GROUP - 1):
-            acc = acc + fn(arg)
-        return acc
-
-    groups = 0
-    t0 = time.perf_counter()
-    prev = run_group()
-    while True:
-        cur = run_group()
-        float(prev)
-        prev = cur
-        groups += 1
-        if time.perf_counter() - t0 >= measure_s and groups >= 2:
-            break
-    float(prev)
-    groups += 1
-    return (time.perf_counter() - t0) / (groups * GROUP) * 1e3
+from _probe_common import measure_ms  # noqa: E402  (adds repo root to sys.path)
 
 
 def main() -> None:
@@ -96,7 +65,7 @@ def main() -> None:
         def encf(x, enc=enc, params=params):
             return jnp.sum(enc.apply(params, x)["mu"].astype(jnp.float32))
 
-        ms = measure(encf, x, args.measure_s)
+        ms = measure_ms(encf, x, args.measure_s)
         # latent drift vs the f32 GroupNorm baseline (same seed/params where
         # comparable — nonorm variants have different param trees, skip)
         drift = None
@@ -135,7 +104,7 @@ def main() -> None:
         detected, winner, best = radial_decide(z, centroids, thresholds, ranks)
         return jnp.sum(best) + jnp.sum(winner)
 
-    ms = measure(full, audio, args.measure_s)
+    ms = measure_ms(full, audio, args.measure_s)
     print(
         json.dumps(
             {"variant": "full-bf16enc", "ms_per_batch": round(ms, 2),

@@ -8,39 +8,10 @@ from __future__ import annotations
 
 import argparse
 import json
-import sys
-import time
-from pathlib import Path
 
 import numpy as np
 
-sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
-
-GROUP = 8
-
-
-def measure(fn, arg, measure_s):
-    float(fn(arg))
-
-    def run_group():
-        acc = fn(arg)
-        for _ in range(GROUP - 1):
-            acc = acc + fn(arg)
-        return acc
-
-    groups = 0
-    t0 = time.perf_counter()
-    prev = run_group()
-    while True:
-        cur = run_group()
-        float(prev)
-        prev = cur
-        groups += 1
-        if time.perf_counter() - t0 >= measure_s and groups >= 2:
-            break
-    float(prev)
-    groups += 1
-    return (time.perf_counter() - t0) / (groups * GROUP) * 1e3
+from _probe_common import measure_ms  # noqa: E402  (adds repo root to sys.path)
 
 
 def main() -> None:
@@ -96,7 +67,7 @@ def main() -> None:
             agree = True
         else:
             agree = bool(np.array_equal(ref, small))
-        ms = measure(melpow, audio, args.measure_s)
+        ms = measure_ms(melpow, audio, args.measure_s)
         print(
             json.dumps(
                 {"variant": f"melpow-interleave={il}", "ms_per_batch": round(ms, 2),
@@ -122,7 +93,7 @@ def main() -> None:
         detected, winner, best = radial_decide(z, centroids, thresholds, ranks)
         return jnp.sum(best) + jnp.sum(winner)
 
-    ms = measure(full, audio, args.measure_s)
+    ms = measure_ms(full, audio, args.measure_s)
     print(
         json.dumps(
             {"variant": "full-interleaved", "ms_per_batch": round(ms, 2),

@@ -8,39 +8,10 @@ from __future__ import annotations
 
 import argparse
 import json
-import sys
-import time
-from pathlib import Path
 
 import numpy as np
 
-sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
-
-GROUP = 8
-
-
-def measure(fn, arg, measure_s):
-    float(fn(arg))
-
-    def run_group():
-        acc = fn(arg)
-        for _ in range(GROUP - 1):
-            acc = acc + fn(arg)
-        return acc
-
-    groups = 0
-    t0 = time.perf_counter()
-    prev = run_group()
-    while True:
-        cur = run_group()
-        float(prev)
-        prev = cur
-        groups += 1
-        if time.perf_counter() - t0 >= measure_s and groups >= 2:
-            break
-    float(prev)
-    groups += 1
-    return (time.perf_counter() - t0) / (groups * GROUP) * 1e3
+from _probe_common import measure_ms  # noqa: E402  (adds repo root to sys.path)
 
 
 def main() -> None:
@@ -101,7 +72,7 @@ def main() -> None:
                 err = float(
                     np.abs(small - ref).max() / (np.abs(ref).max() + 1e-30)
                 )
-                ms = measure(melpow, y, args.measure_s)
+                ms = measure_ms(melpow, y, args.measure_s)
                 print(json.dumps({
                     "variant": f"fused={fused} rb={rb}",
                     "ms_per_batch": round(ms, 2),

@@ -22,15 +22,10 @@ from __future__ import annotations
 
 import argparse
 import json
-import sys
-import time
-from pathlib import Path
 
 import numpy as np
 
-sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
-
-GROUP = 8
+from _probe_common import measure_ms  # noqa: E402  (adds repo root to sys.path)
 
 
 def main() -> None:
@@ -106,31 +101,6 @@ def main() -> None:
         detected, winner, best = radial_decide(z, centroids, thresholds, ranks)
         return jnp.sum(best) + jnp.sum(winner)
 
-    def measure(fn, arg):
-        float(fn(arg))  # compile + warm
-
-        def run_group():
-            acc = fn(arg)
-            for _ in range(GROUP - 1):
-                acc = acc + fn(arg)
-            return acc
-
-        groups = 0
-        t0 = time.perf_counter()
-        prev = run_group()
-        while True:
-            cur = run_group()
-            float(prev)
-            prev = cur
-            groups += 1
-            if time.perf_counter() - t0 >= args.measure_s and groups >= 2:
-                break
-        float(prev)
-        groups += 1
-        dt = time.perf_counter() - t0
-        ms = dt / (groups * GROUP) * 1e3
-        return ms
-
     for name, fn, arg in (
         ("full", full, audio),
         ("melpow", melpow, audio),
@@ -138,7 +108,7 @@ def main() -> None:
         ("encoder", encoder, x_const),
         ("detect", detect, z_const),
     ):
-        ms = measure(fn, arg)
+        ms = measure_ms(fn, arg, args.measure_s)
         print(
             json.dumps(
                 {"stage": name, "ms_per_batch": round(ms, 2),

@@ -589,3 +589,66 @@ def test_avgpool_norm_free_state_dict_ingests(tmp_path, rng):
         ref = mod(torch.from_numpy(x)).numpy()
     out = ConvVAEEncoder(cfg).apply(params, jnp.asarray(x.transpose(0, 2, 3, 1)))
     np.testing.assert_allclose(np.asarray(out["mu"]), ref, rtol=5e-4, atol=2e-5)
+
+
+class AmbiguousAvgPoolEncoder(torch_nn.Module):
+    """The review's adversarial case: repeated-width avgpool chain
+    1→8,8→8,8→16,16→16 with T=512 — the SAME state_dict also parses as
+    2-block stride pairs whose frame search succeeds (t=29..32 gives
+    ceil-bottleneck 8·8·16 = 1024 = floor-bottleneck(512)·2·16). Shape
+    arithmetic alone cannot tell the readings apart."""
+
+    def __init__(self):
+        super().__init__()
+        chans = [1, 8, 8, 16, 16]
+        self.cs = torch_nn.ModuleList(
+            torch_nn.Conv2d(chans[i], chans[i + 1], 3, padding=1)
+            for i in range(4)
+        )
+        self.proj = torch_nn.Linear((512 // 16) * (M // 16) * 16, DENSE)
+        self.emb = torch_nn.Linear(DENSE, LATENT)
+
+    def forward(self, x):
+        for c in self.cs:
+            x = F.avg_pool2d(F.silu(c(x)), 2)
+        return self.emb(F.silu(self.proj(x.flatten(1))))
+
+
+def test_ambiguous_chain_probe_and_override(tmp_path, rng, capsys):
+    """Ambiguity handling (r3 review finding #1): a runnable pickle is
+    disambiguated by the probe (correct avgpool ingest to parity); a bare
+    state_dict warns and honors --downsample; and the warned stride default
+    is what the warning says it is."""
+    from anuraxla.models.hydra_ingest import ingest_foreign_checkpoint
+
+    torch.manual_seed(7)
+    mod = AmbiguousAvgPoolEncoder().eval()
+
+    # (a) runnable pickle: probe picks avgpool and parity holds
+    pt = tmp_path / "amb_module.pt"
+    torch.save(mod, pt)
+    cfg, params, _ = ingest_foreign_checkpoint(pt, n_mels=M)
+    assert cfg.downsample == "avgpool" and cfg.input_hw == (512, M)
+    x = rng.standard_normal((2, 1, 512, M)).astype(np.float32)
+    with torch.no_grad():
+        ref = mod(torch.from_numpy(x)).numpy()
+    out = ConvVAEEncoder(cfg).apply(params, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(out["mu"]), ref, rtol=5e-4, atol=2e-5)
+
+    # (b) bare state_dict: stride is preferred but the ambiguity is LOUD
+    pt_sd = tmp_path / "amb_sd.pt"
+    torch.save(mod.state_dict(), pt_sd)
+    capsys.readouterr()
+    cfg_sd, _, _ = ingest_foreign_checkpoint(pt_sd, n_mels=M)
+    assert cfg_sd.downsample == "stride"
+    assert "ambiguous checkpoint" in capsys.readouterr().out
+
+    # (c) explicit override recovers the correct reading from shapes alone
+    cfg_ov, params_ov, _ = ingest_foreign_checkpoint(
+        pt_sd, n_mels=M, downsample="avgpool"
+    )
+    assert cfg_ov.downsample == "avgpool" and cfg_ov.input_hw == (512, M)
+    out2 = ConvVAEEncoder(cfg_ov).apply(
+        params_ov, jnp.asarray(x.transpose(0, 2, 3, 1))
+    )
+    np.testing.assert_allclose(np.asarray(out2["mu"]), ref, rtol=5e-4, atol=2e-5)

@@ -283,7 +283,7 @@ def test_log_mel_pallas_backend_lane_phase_hop_full_frontend(rng):
 def test_pre_padded_input_matches_device_pad(rng):
     """pre_padded=True on a host-padded phase-layout row is bitwise the
     device-padded run (same kernel, same data), with the fused rms_scale
-    recovered via num_valid, and the layout-mismatch guard raises."""
+    reduced over the sliced valid region, and the layout-mismatch guard raises."""
     from anuraxla.ops.frontend import rms_scale_batch
     from anuraxla.ops.pallas_frontend import phase_padded_layout
 
@@ -296,16 +296,17 @@ def test_pre_padded_input_matches_device_pad(rng):
     ypad = np.zeros((3, L_pad), np.float32)
     ypad[:, pad_l : pad_l + cfg.num_samples] = y
 
+    # the production convention (session.py): the scale reduces over the
+    # SLICED valid region, so it is bitwise the unpadded path's scale
     sc = rms_scale_batch(jnp.asarray(y))
-    sc_pad = rms_scale_batch(jnp.asarray(ypad), num_valid=cfg.num_samples)
-    # same scales up to the padded sum's different reduction tree
-    np.testing.assert_allclose(np.asarray(sc), np.asarray(sc_pad), rtol=1e-6)
+    sc_pad = rms_scale_batch(
+        jnp.asarray(ypad[:, pad_l : pad_l + cfg.num_samples])
+    )
+    np.testing.assert_array_equal(np.asarray(sc), np.asarray(sc_pad))
 
-    # bitwise check uses ONE scale for both calls (sc vs sc_pad differ in
-    # the last ulp, which the clip+window chain would amplify past equality)
     ref = np.asarray(mel_power_pallas(jnp.asarray(y), cfg, num_frames=T,
                                       interpret=True, algorithm="ct",
-                                      rms_scale=sc_pad))
+                                      rms_scale=sc))
     got = np.asarray(mel_power_pallas(jnp.asarray(ypad), cfg, num_frames=T,
                                       interpret=True, algorithm="ct",
                                       rms_scale=sc_pad, pre_padded=True))

@@ -264,3 +264,17 @@ def test_pre_padded_host_encode_paths(tmp_path, rng):
     Z_pp, ok_pp, _ = mk(pre_padded_host=True).encode_paths(paths)
     np.testing.assert_array_equal(ok_p, ok_pp)
     np.testing.assert_array_equal(Z_pp, Z_plain)
+
+
+def test_fingerprint_encodes_effective_backend(tmp_path):
+    """CLAUDE.md cache-key invariant: the fingerprint names the backend
+    whose MATH runs. On this CPU host backend='pallas' falls back to the
+    matmul path, so its fingerprint must EQUAL the matmul session's (same
+    math, same cache) and must not claim 'pallas'."""
+    from anuraxla.pipeline.session import session_fingerprint
+
+    s_pallas = make_session(tmp_path, backend="pallas")
+    s_matmul = make_session(tmp_path)
+    fp_p, fp_m = session_fingerprint(s_pallas), session_fingerprint(s_matmul)
+    assert fp_p == fp_m
+    assert "_pallas_" not in fp_p

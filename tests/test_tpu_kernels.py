@@ -42,6 +42,13 @@ rng = np.random.default_rng(0)
 B = 16
 y = jnp.asarray((0.1 * rng.standard_normal((B, cfg.num_samples))).astype(np.float32))
 
+# the platform-name assumption behind the CPU fallback must hold on the
+# real chip: a wrong default_backend() string would silently demote every
+# production 'pallas' session to the matmul path
+from anuraxla.ops.frontend import resolved_backend
+rb = resolved_backend(cfg, "pallas")
+assert rb == "pallas", f"resolved_backend fell back ({rb}) on {jax.default_backend()}"
+
 # full frontend (dB + standardize + crop), standardized units
 ref = np.asarray(log_mel_batch(y, cfg, parity=True, backend="matmul"))
 
@@ -52,7 +59,7 @@ assert err_exact < 1e-3, f"pallas-ct exact vs matmul: {err_exact}"
 # bf16 mode: documented ~6e-2 standardized-dB bound
 T = cfg.total_frames
 import anuraxla.ops.pallas_frontend as pf
-from anuraxla.ops.frontend import power_to_db, standardize, crop_or_pad_time
+from anuraxla.ops.mel import power_to_db, standardize, crop_or_pad_time
 S = pf.mel_power_pallas(y, cfg, num_frames=T, exact=False)
 got_bf16 = np.asarray(crop_or_pad_time(standardize(power_to_db(S, amin=cfg.amin, top_db=cfg.top_db)), cfg.target_frames))
 err_bf16 = np.abs(got_bf16 - ref).max()
