@@ -278,3 +278,32 @@ def test_fingerprint_encodes_effective_backend(tmp_path):
     fp_p, fp_m = session_fingerprint(s_pallas), session_fingerprint(s_matmul)
     assert fp_p == fp_m
     assert "_pallas_" not in fp_p
+
+
+def test_pre_padded_host_survives_reconfigure(tmp_path, rng):
+    """reconfigure(duration=...) reruns load(), which must recompute the
+    pre-padded decode layout for the new mel config — stale layouts would
+    ship wrong-length rows."""
+    mel = MelConfig(sr=48000, duration=1.0, n_mels=64, fmin=150, fmax=15000,
+                    hop_length=384, n_fft=2048, target_frames=96)
+    from anuraxla.models.checkpoint import save_encoder
+    from anuraxla.models.vae import init_encoder as _init
+
+    enc_dir = tmp_path / "enc_rc"
+    vcfg = VAEConfig(latent_dim=8, widths=(8, 16), dense_width=16, groups=4,
+                     input_hw=(96, 64))
+    _, params = _init(vcfg, 0)
+    save_encoder(enc_dir, vcfg, params)
+
+    s = EncoderSession(mel=mel, encoder_dir=enc_dir, batch_size=2,
+                       project_root=tmp_path, backend="pallas",
+                       pre_padded_host=True).load()
+    layout0 = s._layout
+    s.reconfigure(duration=2.0)
+    assert s._layout != layout0  # longer clips -> longer padded rows
+    batch = (0.1 * rng.standard_normal((2, s.mel.num_samples))).astype(np.float32)
+    z = s.encode_array(batch)
+
+    s_plain = EncoderSession(mel=s.mel, encoder_dir=enc_dir, batch_size=2,
+                             project_root=tmp_path, backend="pallas").load()
+    np.testing.assert_array_equal(z, s_plain.encode_array(batch))
