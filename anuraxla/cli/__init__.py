@@ -36,6 +36,7 @@ COMMANDS = {
     "scan-soundscape": "anuraxla.cli.scan_soundscape",
     "calibrate-tau": "anuraxla.cli.calibrate_tau",
     "ingest-encoder": "anuraxla.cli.ingest_encoder",
+    "ingest-decoder": "anuraxla.cli.ingest_decoder",
 }
 
 # numeric aliases matching the reference filenames

@@ -32,6 +32,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="folder to scan (default: <root>/latent_space_exploration/test_chunks)")
     p.add_argument("--config", type=str, default=None)
     p.add_argument("--out-dir", type=str, default=None)
+    p.add_argument("--add-noise-db", type=float, default=None,
+                   help="inject broadband noise at this SNR (dB vs each "
+                   "chunk's RMS) before the pipeline — robustness evaluation")
+    p.add_argument("--snr-sweep", type=str, default=None,
+                   help="comma list of SNRs (dB; 'clean' allowed), e.g. "
+                   "'clean,20,14,8': run the benchmark at each and write "
+                   "snr_curve.csv + per-SNR artifact dirs")
+    p.add_argument("--noise-seed", type=int, default=0)
     add_device_arg(p)
     add_mel_args(p)
     add_encoder_args(p)
@@ -65,12 +73,26 @@ def run(detector: str, default_out: str, default_root_name: str = "test_chunks")
         mel=mel_from_args(args, duration=5.0),
         encoder_dir=Path(args.encoder) if args.encoder else None,
         project_root=project_root,
+        add_noise_db=args.add_noise_db,
+        noise_seed=args.noise_seed,
         **session_kwargs(args),
     )
-    run_folder_benchmark(
-        root=root, config_path=cfg_path, detector=detector,
-        session=session, out_dir=out_dir,
-    )
+    if args.snr_sweep:
+        from anuraxla.pipeline.benchmark import run_snr_sweep
+
+        snrs = [
+            None if s.strip().lower() == "clean" else float(s)
+            for s in args.snr_sweep.split(",") if s.strip()
+        ]
+        run_snr_sweep(
+            root=root, config_path=cfg_path, detector=detector,
+            session=session, out_dir=out_dir, snrs_db=snrs,
+        )
+    else:
+        run_folder_benchmark(
+            root=root, config_path=cfg_path, detector=detector,
+            session=session, out_dir=out_dir,
+        )
 
 
 def main() -> None:

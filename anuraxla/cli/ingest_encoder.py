@@ -46,10 +46,16 @@ def main() -> None:
     from anuraxla.models.checkpoint import save_encoder
     from anuraxla.models.hydra_ingest import ingest_foreign_checkpoint
 
-    cfg, params, meta = ingest_foreign_checkpoint(
-        args.pt, args.yaml, n_mels=args.n_mels, groups=args.groups,
-        downsample=None if args.downsample == "auto" else args.downsample,
-    )
+    import warnings
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        cfg, params, meta = ingest_foreign_checkpoint(
+            args.pt, args.yaml, n_mels=args.n_mels, groups=args.groups,
+            downsample=None if args.downsample == "auto" else args.downsample,
+        )
+    for w in caught:
+        print(f"⚠️ {w.message}")
     print(f"🔍 inferred: widths={list(cfg.widths)} dense={cfg.dense_width} "
           f"latent={cfg.latent_dim} groups={cfg.groups}")
     print(f"🔍 auto-frames: target_frames={cfg.input_hw[0]} (n_mels={cfg.input_hw[1]})")

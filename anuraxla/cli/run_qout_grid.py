@@ -93,6 +93,12 @@ def build_parser() -> argparse.ArgumentParser:
                    "write grid_metrics.csv — no re-encoding, no per-point refits")
     p.add_argument("--q-in-grid", type=float, nargs="*", default=None,
                    help="q_in values for --device-sweep (default: just --q-in)")
+    p.add_argument("--noise-margin-db", type=float, default=None,
+                   help="with --device-sweep: also evaluate the grid on "
+                   "noise-injected val latents at this SNR (dB) and recommend "
+                   "the operating point with the best NOISED accuracy whose "
+                   "CLEAN accuracy is within 2 points of the clean optimum — "
+                   "q_out calibration with a noise margin")
     add_device_arg(p)
     add_mel_args(p)
     add_encoder_args(p)
@@ -281,10 +287,11 @@ def _device_sweep(args, session, cfg_path, train_dir, val_dir, grid_root, projec
         print(f"🕸️ device sweep sharded over {n_data} chips (B={B})")
 
     q_in_grid = args.q_in_grid if args.q_in_grid else [args.q_in]
+    ranks = jnp.asarray(priority_ranks(species))
     with stage_timer(f"device sweep {len(q_in_grid)}x{len(args.q_out_grid)} grid"):
         gm = radial_qgrid(
             fit, jnp.asarray(Zv), jnp.asarray(true_idx),
-            jnp.asarray(priority_ranks(species)),
+            ranks,
             np.asarray(q_in_grid, np.float32), np.asarray(args.q_out_grid, np.float32),
             valid,
         )
@@ -293,16 +300,72 @@ def _device_sweep(args, session, cfg_path, train_dir, val_dir, grid_root, projec
     accp = np.asarray(gm.acc_per_class)
     nodp = np.asarray(gm.no_detect_per_class)
 
+    acc_nz = nod_nz = None
+    if args.noise_margin_db is not None:
+        # same fit, noised evaluation latents: the noise-margin half of the
+        # operating-point recipe (docs/ROBUSTNESS: pick (q_in, q_out) by
+        # noised accuracy subject to clean accuracy within 2 points)
+        noise_db = float(args.noise_margin_db)
+        session.add_noise_db = noise_db
+        session._fingerprint = None
+        Zn_by, _, _ = encode_species_tree(
+            session, val_dir, species, cache=False, cache_dir=None,
+            max_per_class=0, seed=args.seed, log=lambda *a: None,
+        )
+        session.add_noise_db = None
+        session._fingerprint = None
+        Zn, true_n = concat_species_latents(Zn_by, species)
+        gmn = radial_qgrid(
+            fit, jnp.asarray(Zn), jnp.asarray(true_n), ranks,
+            np.asarray(q_in_grid, np.float32),
+            np.asarray(args.q_out_grid, np.float32),
+            None,
+        )
+        acc_nz = np.asarray(gmn.accuracy)
+        nod_nz = np.asarray(gmn.no_detect_rate)
+
     out = grid_root / "grid_metrics.csv"
     with open(out, "w", newline="", encoding="utf-8") as f:
         w = csv.writer(f)
-        w.writerow(["q_in", "q_out", "val_accuracy", "val_no_detect_rate"]
-                   + [f"acc_{sp}" for sp in species] + [f"no_detect_{sp}" for sp in species])
+        header = ["q_in", "q_out", "val_accuracy", "val_no_detect_rate"]
+        if acc_nz is not None:
+            header += [f"val_accuracy_snr{args.noise_margin_db:g}db",
+                       f"val_no_detect_rate_snr{args.noise_margin_db:g}db"]
+        header += [f"acc_{sp}" for sp in species] + [f"no_detect_{sp}" for sp in species]
+        w.writerow(header)
         for i, qi in enumerate(q_in_grid):
             for j, qo in enumerate(args.q_out_grid):
-                w.writerow([qi, qo, float(acc[i, j]), float(nod[i, j])]
-                           + [float(v) for v in accp[i, j]] + [float(v) for v in nodp[i, j]])
+                row = [qi, qo, float(acc[i, j]), float(nod[i, j])]
+                if acc_nz is not None:
+                    row += [float(acc_nz[i, j]), float(nod_nz[i, j])]
+                row += [float(v) for v in accp[i, j]] + [float(v) for v in nodp[i, j]]
+                w.writerow(row)
     print(f"💾 on-device grid metrics: {out}")
+
+    if acc_nz is not None:
+        qi, qo = recommend_operating_point(acc, acc_nz, q_in_grid, args.q_out_grid)
+        print(
+            f"🎯 noise-margin operating point (SNR {args.noise_margin_db:g} dB): "
+            f"q_in={qi:g} q_out={qo:g} — best noised accuracy within 2 points "
+            "of the clean optimum; refit with these to adopt it"
+        )
+
+
+def recommend_operating_point(acc_clean, acc_noise, q_in_grid, q_out_grid,
+                              margin: float = 0.02):
+    """(q_in, q_out) maximizing NOISED accuracy among points whose CLEAN
+    accuracy is within ``margin`` of the clean optimum (ties -> higher clean
+    accuracy). The documented noise-margin calibration recipe: the reference
+    grid (ref:run_qout_grid.sh:6-13) trades NO_DETECT against accuracy; this
+    adds 'and survives noise at the stated SNR' as the constraint."""
+    import numpy as np
+
+    acc_clean = np.asarray(acc_clean)
+    acc_noise = np.asarray(acc_noise)
+    eligible = acc_clean >= acc_clean.max() - margin
+    score = np.where(eligible, acc_noise + 1e-6 * acc_clean, -1.0)
+    i, j = np.unravel_index(int(score.argmax()), score.shape)
+    return float(q_in_grid[i]), float(q_out_grid[j])
 
 
 if __name__ == "__main__":

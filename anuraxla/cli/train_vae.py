@@ -79,6 +79,15 @@ def main() -> None:
                    help="resume from the latest checkpoint in --ckpt-dir")
     p.add_argument("--save-decoder", action="store_true",
                    help="also export the full VAE (encoder+decoder) artifact")
+    p.add_argument("--init-from", type=str, default=None,
+                   help="warm-start the encoder from an encoder artifact dir "
+                   "(e.g. the output of ingest-encoder on reference weights); "
+                   "the artifact's architecture overrides --latent-dim and "
+                   "must match the mel frame geometry")
+    p.add_argument("--init-from-decoder", type=str, default=None,
+                   help="warm-start the decoder from a decoder artifact dir "
+                   "(ingest-decoder output); trains the ingested decoder "
+                   "STRUCTURE, so its out_hw must equal the encoder input")
     p.add_argument("--steps", type=int, default=2000)
     p.add_argument("--epochs", type=int, default=0, help="0 = loop until --steps")
     p.add_argument("--lr", type=float, default=3e-4)
@@ -106,11 +115,51 @@ def main() -> None:
 
     project_root = project_root_here()
     mel = mel_from_args(args, duration=5.0)
-    vcfg = VAEConfig(
-        latent_dim=args.latent_dim,
-        input_hw=(mel.target_frames, mel.n_mels),
-        dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
-    )
+    decoder_spec = None
+    init_params = None
+    if args.init_from:
+        import dataclasses
+
+        from anuraxla.models.checkpoint import load_encoder
+
+        _, enc_params, vcfg = load_encoder(args.init_from)
+        if vcfg.input_hw != (mel.target_frames, mel.n_mels):
+            raise SystemExit(
+                f"❌ --init-from encoder consumes {vcfg.input_hw}, the mel "
+                f"config produces ({mel.target_frames}, {mel.n_mels}) — "
+                "adjust --duration/--hop-length/--n-mels to the artifact"
+            )
+        vcfg = dataclasses.replace(
+            vcfg, dtype=jnp.bfloat16 if args.bf16 else jnp.float32
+        )
+        if args.latent_dim != vcfg.latent_dim:
+            print(f"ℹ️ --init-from overrides latent_dim: {vcfg.latent_dim}")
+        dec_params = None
+        if args.init_from_decoder:
+            from anuraxla.models.checkpoint import load_decoder
+
+            _, dparams, decoder_spec = load_decoder(args.init_from_decoder)
+            dec_params = dparams["params"]
+        from anuraxla.models.vae import init_vae
+
+        _, template = init_vae(vcfg, seed=args.seed, decoder_spec=decoder_spec)
+        init_params = {"params": {
+            "encoder": enc_params["params"],
+            "decoder": dec_params if dec_params is not None
+            else template["params"]["decoder"],
+        }}
+        print(f"▶ warm start: encoder from {args.init_from}"
+              + (f", decoder from {args.init_from_decoder}"
+                 if args.init_from_decoder else ", decoder random-init"))
+    elif args.init_from_decoder:
+        raise SystemExit("❌ --init-from-decoder requires --init-from (the "
+                         "decoder spec must pair with the encoder config)")
+    else:
+        vcfg = VAEConfig(
+            latent_dim=args.latent_dim,
+            input_hw=(mel.target_frames, mel.n_mels),
+            dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+        )
     tc = TrainConfig(
         learning_rate=args.lr, beta=args.beta, total_steps=args.steps,
         kl_warmup_steps=args.kl_warmup, kl_delay_steps=args.kl_delay,
@@ -139,7 +188,7 @@ def main() -> None:
         from anuraxla.models.checkpoint import restore_train_state
         from anuraxla.models.train import create_train_state
 
-        _, template = create_train_state(vcfg, tc)
+        _, template = create_train_state(vcfg, tc, decoder_spec=decoder_spec)
         initial_state = restore_train_state(args.ckpt_dir, template)
         print(f"▶ resumed from step {int(initial_state.step)} in {args.ckpt_dir}")
 
@@ -149,12 +198,16 @@ def main() -> None:
 
             if initial_state is not None:
                 raise SystemExit("❌ --resume with --data-parallel is not supported yet")
+            if init_params is not None:
+                raise SystemExit("❌ --init-from with --data-parallel is not supported yet")
             vae, state, metrics = train_loop_sharded(vcfg, tc, stream, num_steps=args.steps)
         else:
             from anuraxla.models.train import train_loop
 
             vae, state, metrics = train_loop(
-                vcfg, tc, stream, num_steps=args.steps, initial_state=initial_state
+                vcfg, tc, stream, num_steps=args.steps,
+                initial_state=initial_state,
+                decoder_spec=decoder_spec, init_params=init_params,
             )
     print(f"🏁 {args.steps} steps in {t.seconds:.1f}s ({t.rate:.1f} examples/s); final {metrics}")
 
@@ -162,11 +215,21 @@ def main() -> None:
     save_encoder(out, vcfg, encoder_params_from_vae(state.params))
     print(f"💾 encoder artifact: {out}")
     if args.save_decoder:
-        from anuraxla.models.checkpoint import save_vae
+        if decoder_spec is not None:
+            # an ingested decoder structure does not fit the native ConvVAE
+            # template — save it as a standalone decoder artifact instead
+            from anuraxla.models.checkpoint import save_decoder
 
-        vdir = Path(str(out) + "_full")
-        save_vae(vdir, vcfg, state.params)
-        print(f"💾 full VAE (encoder+decoder) artifact: {vdir}")
+            vdir = Path(str(out) + "_decoder")
+            save_decoder(vdir, decoder_spec,
+                         {"params": state.params["params"]["decoder"]})
+            print(f"💾 decoder artifact (ingested structure): {vdir}")
+        else:
+            from anuraxla.models.checkpoint import save_vae
+
+            vdir = Path(str(out) + "_full")
+            save_vae(vdir, vcfg, state.params)
+            print(f"💾 full VAE (encoder+decoder) artifact: {vdir}")
     if args.ckpt_dir:
         save_train_state(args.ckpt_dir, state)
         print(f"💾 train state: {args.ckpt_dir}")

@@ -85,6 +85,37 @@ def load_vae(dir_path: str | Path, seed: int = 0):
     return vae, params, cfg
 
 
+def save_decoder(dir_path: str | Path, spec, params: Any) -> Path:
+    """Decoder artifact (the analogue of the reference's paired
+    bird_net_vae_audio_splitted_decoder_v0/model.pt,
+    ref:docs/REPRODUCE_THESIS_BASELINE.md:33-42):
+        <dir>/decoder.msgpack + <dir>/decoder.json (DecoderSpec fields)."""
+    dir_path = Path(dir_path)
+    dir_path.mkdir(parents=True, exist_ok=True)
+    d = dataclasses.asdict(spec)
+    d["dense_widths"] = list(spec.dense_widths)
+    d["bottleneck_hw"] = list(spec.bottleneck_hw)
+    d["stack"] = [list(s) for s in spec.stack]
+    (dir_path / "decoder.msgpack").write_bytes(serialization.to_bytes(params))
+    (dir_path / "decoder.json").write_text(json.dumps(d, indent=2))
+    return dir_path
+
+
+def load_decoder(dir_path: str | Path, seed: int = 0):
+    """-> (IngestedDecoder module, params, DecoderSpec)."""
+    from anuraxla.models.vae import DecoderSpec, init_ingested_decoder
+
+    dir_path = Path(dir_path)
+    d = json.loads((dir_path / "decoder.json").read_text())
+    d["dense_widths"] = tuple(d["dense_widths"])
+    d["bottleneck_hw"] = tuple(d["bottleneck_hw"])
+    d["stack"] = tuple((str(k), int(w)) for k, w in d["stack"])
+    spec = DecoderSpec(**d)
+    dec, template = init_ingested_decoder(spec, seed=seed)
+    params = serialization.from_bytes(template, (dir_path / "decoder.msgpack").read_bytes())
+    return dec, params, spec
+
+
 def save_train_state(ckpt_dir: str | Path, state, step: int | None = None) -> None:
     """Full training-state checkpoint via orbax (resume-capable)."""
     import orbax.checkpoint as ocp

@@ -44,6 +44,7 @@ from __future__ import annotations
 
 import importlib
 import math
+import warnings
 from pathlib import Path
 from typing import Any, Dict, List, Mapping, Optional, Sequence, Tuple
 
@@ -424,11 +425,15 @@ def infer_vae_config_from_state_dict(
         )
     if len(matches) > 1:
         alt = ", ".join(f"{ds} (target_frames={t})" for ds, _, t in matches[1:])
-        print(
-            f"⚠️ ambiguous checkpoint: picking downsample={matches[0][0]!r} "
+        # a warning, not a print: library consumers can filter/capture it,
+        # and stdout-parsing callers don't get an unannounced extra line
+        # (the ingest-encoder CLI re-surfaces it on stdout)
+        warnings.warn(
+            f"ambiguous checkpoint: picking downsample={matches[0][0]!r} "
             f"(target_frames={matches[0][2]}); the weights also fit {alt}. "
             "Pass --downsample (or ingest the pickled module, whose probe "
-            "disambiguates) if this is wrong."
+            "disambiguates) if this is wrong.",
+            stacklevel=2,
         )
     ds, widths, t = matches[0]
     return VAEConfig(
@@ -502,9 +507,12 @@ def probe_frames_with_hook(
     reference's probe, verbatim in strategy (``ref:07_encode_wav_to_latent
     .py:316-409``): register a forward-pre-hook on the first ``nn.Linear``,
     feed ``zeros[1, 1, T, n_mels]`` (the reference's mel input layout), and
-    read the flattened width F(T) the hook captures. F(T) is nondecreasing
-    in T, so an exponential bracket + linear scan finds the T with
-    F(T) == linear.in_features in a handful of tiny forwards.
+    read the last-dim width F(T) the hook captures (the reference's
+    ``inp.shape[-1]`` with the leading dims collapsed into N > 0,
+    ``ref:07:331-343`` — so a per-position Linear over ``[B, T', F']``
+    compares F', not T'·F'). F(T) is nondecreasing in T, so an exponential
+    bracket + bisection finds the smallest T with F(T) == linear.in_features
+    in O(log) tiny forwards.
 
     This works on ANY architecture torch can run — AvgPool chains, exotic
     downsampling, whatever — unlike the closed-form :func:`auto_find_frames`
@@ -524,7 +532,11 @@ def probe_frames_with_hook(
     captured: dict = {}
 
     def hook(mod, inp):
-        captured["f"] = int(inp[0].reshape(inp[0].shape[0], -1).shape[-1])
+        x = inp[0]
+        f = int(x.shape[-1])
+        n = int(x.numel()) // f if f else 0
+        if n > 0:
+            captured["f"] = f
 
     handle = lin.register_forward_pre_hook(hook)
     try:
@@ -553,11 +565,23 @@ def probe_frames_with_hook(
                 f"no target_frames in [{start}, {max_frames}] reaches the "
                 f"probed linear's in_features={target} (n_mels={n_mels})"
             )
-        for t in range(lo, min(hi, max_frames) + 1):
-            if f_of(t) == target:
-                return t
+        # F(T) is nondecreasing, so bisect the bracket for the FIRST T with
+        # F(T) >= target (a failed forward / no capture means T is too small
+        # — go right), then require equality: if the first such T overshoots,
+        # no T hits target exactly. O(log) forwards vs the old linear scan,
+        # same smallest-match convention.
+        hi = min(hi, max_frames)
+        while lo < hi:
+            mid = (lo + hi) // 2
+            f = f_of(mid)
+            if f is not None and f >= target:
+                hi = mid
+            else:
+                lo = mid + 1
+        if f_of(lo) == target:
+            return lo
         raise ValueError(
-            f"probe bracket [{lo}, {hi}] never hit in_features={target} "
+            f"probe bracket never hit in_features={target} "
             f"exactly (n_mels={n_mels}) — is n_mels right?"
         )
     finally:
@@ -691,6 +715,326 @@ def map_foreign_state_dict(
             "bias": np.zeros((cfg.latent_dim,), np.float32),
         }
     return {"params": params}
+
+
+# ---------------------------------------------------------------------------
+# Decoder ingest (the paired artifact: ref:docs/REPRODUCE_THESIS_BASELINE.md
+# :33-42 ships bird_net_vae_audio_splitted_decoder_v0/model.pt next to the
+# encoder; ref:map_detector_core.py:64-76 is the models-dir contract)
+# ---------------------------------------------------------------------------
+
+def parse_decoder_stream(sd: Mapping[str, Any]) -> List[Dict[str, Any]]:
+    """Classify a DECODER state_dict's tensor stream by shape + registration
+    order. Vocabulary (the mirror of the encoder's): leading Linear layers
+    (weight+bias), then a conv stack of 4x4 ConvTranspose2d (weight
+    [Cin, Cout, 4, 4] — torch's transposed-conv layout) and/or 3x3 Conv2d
+    (weight [Cout, Cin, 3, 3]), each optionally followed by bias and a
+    GroupNorm pair / BatchNorm quadruple (folded later). Anything else
+    raises a named UnsupportedLayerError."""
+    stream = [
+        (k, v, _shape_of(v))
+        for k, v in sd.items()
+        if "num_batches_tracked" not in k
+    ]
+    layers: List[Dict[str, Any]] = []
+    i = 0
+    while i < len(stream):
+        k, v, s = stream[i]
+        if len(s) == 4:
+            if (s[2], s[3]) == (4, 4):
+                kind, cin, out = "convt", int(s[0]), int(s[1])
+            elif (s[2], s[3]) == (3, 3):
+                kind, cin, out = "conv", int(s[1]), int(s[0])
+            else:
+                raise UnsupportedLayerError(
+                    f"decoder conv '{k}' has kernel {s[2]}x{s[3]}; the decoder "
+                    "vocabulary is 4x4 ConvTranspose2d + 3x3 Conv2d"
+                )
+            i += 1
+            run: List[Tuple[str, Any]] = []
+            while i < len(stream) and len(stream[i][2]) == 1:
+                if stream[i][2][0] != out:
+                    raise UnsupportedLayerError(
+                        f"1-D tensor '{stream[i][0]}' of length {stream[i][2][0]} "
+                        f"after {kind} '{k}' (out={out}) — not a bias/norm "
+                        "parameter of that layer"
+                    )
+                run.append((stream[i][0], stream[i][1]))
+                i += 1
+            if len(run) > 5:
+                raise UnsupportedLayerError(
+                    f"{len(run)} consecutive per-channel tensors after {kind} "
+                    f"'{k}' — more than one norm layer per conv is not ingestable"
+                )
+            has_bias = len(run) in (1, 3, 5)
+            bias = run[0][1] if has_bias else None
+            norm_run = run[1:] if has_bias else run
+            if len(norm_run) == 0:
+                norm = None
+            elif len(norm_run) == 2:
+                if any("running" in n for n, _ in norm_run):
+                    norm = {"kind": "bn", "gamma": None, "beta": None,
+                            "mean": norm_run[0][1], "var": norm_run[1][1]}
+                else:
+                    norm = {"kind": "gn", "scale": norm_run[0][1], "bias": norm_run[1][1]}
+            elif len(norm_run) == 4:
+                norm = {"kind": "bn", "gamma": norm_run[0][1], "beta": norm_run[1][1],
+                        "mean": norm_run[2][1], "var": norm_run[3][1]}
+            else:
+                raise UnsupportedLayerError(
+                    f"cannot classify the {len(norm_run)} per-channel tensors "
+                    f"after {kind} '{k}' (expected GroupNorm pair or BatchNorm "
+                    "quadruple)"
+                )
+            layers.append({"kind": kind, "name": k, "w": v, "b": bias,
+                           "out": out, "cin": cin, "norm": norm})
+        elif len(s) == 2:
+            o = s[0]
+            if (
+                i + 1 >= len(stream)
+                or len(stream[i + 1][2]) != 1
+                or stream[i + 1][2][0] != o
+            ):
+                raise UnsupportedLayerError(
+                    f"linear '{k}' {s} has no bias tensor following it — "
+                    "bias-less linears are outside the ingest vocabulary"
+                )
+            layers.append({"kind": "linear", "name": k, "w": v,
+                           "b": stream[i + 1][1], "out": int(o), "cin": int(s[1])})
+            i += 2
+        elif len(s) == 1:
+            raise UnsupportedLayerError(
+                f"per-channel tensor '{k}' (length {s[0]}) with no preceding "
+                "conv to attach to"
+            )
+        else:
+            raise UnsupportedLayerError(
+                f"tensor '{k}' has rank {len(s)} (shape {s}) — not a decoder "
+                "Linear/ConvTranspose2d/Conv2d/norm parameter"
+            )
+    return layers
+
+
+def infer_decoder_spec_from_state_dict(
+    sd: Mapping[str, Any],
+    *,
+    n_mels: int = 64,
+    groups: Optional[int] = None,
+    yaml_cfg: Optional[Mapping[str, Any]] = None,
+):
+    """Shape-derived :class:`~anuraxla.models.vae.DecoderSpec`.
+
+    Stream must be linears-then-convs (the reverse of the encoder). The
+    upsampling reading comes from kernel sizes: any 4x4 layer is a x2
+    ConvTranspose step ("convt"); in an all-3x3 stack every conv EXCEPT the
+    final output conv is preceded by a nearest x2 upsample ("upconv" — the
+    mirror of the avgpool encoder family, where every conv is followed by a
+    pool). The bottleneck solves in closed form (the decoder-side
+    auto_find_frames): W0 = n_mels / 2^n_up, H0 = flat / (C*W0) — both must
+    divide exactly or the state_dict does not decode to [*, n_mels] mels."""
+    from anuraxla.models.vae import DecoderSpec
+
+    layers = parse_decoder_stream(sd)
+    kinds = [l["kind"] for l in layers]
+    n_lin = kinds.count("linear")
+    if n_lin == 0 or n_lin == len(layers):
+        raise UnsupportedLayerError(
+            f"decoder stream has {n_lin} linear and {len(layers) - n_lin} conv "
+            "layers (need a linear head THEN a conv stack)"
+        )
+    first_conv = next(j for j, k in enumerate(kinds) if k != "linear")
+    late_linear = next(
+        (layers[j]["name"] for j in range(first_conv, len(kinds))
+         if kinds[j] == "linear"), None,
+    )
+    if late_linear is not None:
+        raise UnsupportedLayerError(
+            f"linear '{late_linear}' appears after a conv layer — only "
+            "linears-then-conv-stack feed-forward decoders are ingestable"
+        )
+    linears = layers[:n_lin]
+    stack = layers[n_lin:]
+    for a, b in zip(linears[:-1], linears[1:]):
+        if b["cin"] != a["out"]:
+            raise UnsupportedLayerError(
+                f"linear '{b['name']}' in={b['cin']} does not chain from "
+                f"'{a['name']}' out={a['out']}"
+            )
+    cin = stack[0]["cin"]
+    for a, b in zip(stack[:-1], stack[1:]):
+        if b["cin"] != a["out"]:
+            raise UnsupportedLayerError(
+                f"{b['kind']} '{b['name']}' in={b['cin']} does not chain from "
+                f"'{a['name']}' out={a['out']}"
+            )
+
+    if any(l["kind"] == "convt" for l in stack):
+        spec_stack = tuple((l["kind"], l["out"]) for l in stack)
+    else:
+        if len(stack) < 2:
+            raise UnsupportedLayerError(
+                "an all-3x3 decoder stack needs at least one upsampling conv "
+                "plus the output conv"
+            )
+        spec_stack = tuple(
+            ("upconv" if j < len(stack) - 1 else "conv", l["out"])
+            for j, l in enumerate(stack)
+        )
+    n_up = sum(1 for kind, _ in spec_stack if kind in ("convt", "upconv"))
+    flat = linears[-1]["out"]
+    if n_mels % (2**n_up) != 0:
+        raise UnsupportedLayerError(
+            f"n_mels={n_mels} is not divisible by 2^{n_up} (the stack's "
+            "upsampling factor) — wrong n_mels or out-of-vocabulary stack"
+        )
+    w0 = n_mels // (2**n_up)
+    if flat % (cin * w0) != 0:
+        raise UnsupportedLayerError(
+            f"bottleneck does not solve: flat={flat} is not divisible by "
+            f"C*W0={cin}*{w0} (n_mels={n_mels}, 2^n_up={2**n_up})"
+        )
+    h0 = flat // (cin * w0)
+    norm = _norm_mode(stack[:-1]) if len(stack) > 1 else "none"
+    if groups is None:
+        groups = _find_int_key(yaml_cfg or {}, ("num_groups", "groups")) or 8
+    return DecoderSpec(
+        latent_dim=linears[0]["cin"],
+        dense_widths=tuple(l["out"] for l in linears),
+        bottleneck_hw=(h0, w0),
+        bottleneck_c=cin,
+        stack=spec_stack,
+        norm=norm,
+        groups=int(groups),
+        gn_eps=1e-5,
+    )
+
+
+def convert_convtranspose(w, b) -> Dict[str, Any]:
+    """torch ConvTranspose2d weight [Cin, Cout, kh, kw] -> flax ConvTranspose
+    kernel [kh, kw, Cin, Cout] with the spatial dims FLIPPED: torch's
+    transposed conv is the gradient of a correlation (flipped kernel), flax's
+    lax.conv_transpose correlates the kernel as-is — measured identity to
+    6e-8 for k4 s2 p1 vs flax SAME."""
+    W = _to_np32(w)[:, :, ::-1, ::-1].transpose(2, 3, 0, 1)
+    return {"kernel": np.ascontiguousarray(W),
+            "bias": _to_np32(b) if b is not None else np.zeros(W.shape[-1], np.float32)}
+
+
+def convert_dense_to_nchw_reshape(w, b, *, c: int, h: int, wd: int) -> Dict[str, Any]:
+    """The torch decoder's last linear feeds a view(B, C, H, W); the flax
+    decoder reshapes to (H, W, C). Reorder the OUTPUT rows so the same
+    features land in the same spatial/channel positions (the output-side
+    mirror of convert_dense_from_nchw_flatten)."""
+    W = _to_np32(w)  # [C*H*W, in] in torch (c,h,w) output order
+    W = W.reshape(c, h, wd, W.shape[1]).transpose(1, 2, 0, 3).reshape(-1, W.shape[1])
+    bias = _to_np32(b).reshape(c, h, wd).transpose(1, 2, 0).reshape(-1)
+    return {"kernel": np.ascontiguousarray(W.T), "bias": np.ascontiguousarray(bias)}
+
+
+def _fold_convtranspose(layer: Dict[str, Any], *, bn_eps: float):
+    """BN folding for a ConvTranspose2d: out-channels live on dim 1 of the
+    torch weight [Cin, Cout, kh, kw]; same affine algebra as _fold_conv."""
+    W = _to_np32(layer["w"])
+    b = _to_np32(layer["b"]) if layer["b"] is not None else np.zeros(W.shape[1], np.float32)
+    norm = layer["norm"]
+    if norm is not None and norm["kind"] == "bn":
+        mean = _to_np32(norm["mean"])
+        var = _to_np32(norm["var"])
+        gamma = _to_np32(norm["gamma"]) if norm["gamma"] is not None else np.ones_like(mean)
+        beta = _to_np32(norm["beta"]) if norm["beta"] is not None else np.zeros_like(mean)
+        s = gamma / np.sqrt(var + bn_eps)
+        W = W * s[None, :, None, None]
+        b = (b - mean) * s + beta
+    return W, b
+
+
+def map_foreign_decoder_state_dict(
+    sd: Mapping[str, Any], spec, *, bn_eps: float = 1e-5
+) -> Dict[str, Any]:
+    """Foreign decoder state_dict -> IngestedDecoder params (shape/order
+    based, like map_foreign_state_dict). GroupNorms are kept as params;
+    BatchNorms fold into the preceding layer's weights."""
+    layers = parse_decoder_stream(sd)
+    n_lin = len(spec.dense_widths)
+    linears = layers[:n_lin]
+    stack = layers[n_lin:]
+    if len(stack) != len(spec.stack):
+        raise UnsupportedLayerError(
+            f"{len(stack)} stack layers in checkpoint vs {len(spec.stack)} in "
+            "the spec"
+        )
+    params: Dict[str, Any] = {}
+    for i, lin in enumerate(linears[:-1]):
+        params[f"Dense_{i}"] = convert_linear(lin["w"], lin["b"])
+    h, wd = spec.bottleneck_hw
+    params[f"Dense_{n_lin - 1}"] = convert_dense_to_nchw_reshape(
+        linears[-1]["w"], linears[-1]["b"], c=spec.bottleneck_c, h=h, wd=wd
+    )
+    for i, (layer, (kind, w)) in enumerate(zip(stack, spec.stack)):
+        if layer["out"] != w:
+            raise UnsupportedLayerError(
+                f"stack layer '{layer['name']}' out={layer['out']} vs spec "
+                f"width {w} at position {i}"
+            )
+        if layer["kind"] == "convt":
+            Wt, bt_ = _fold_convtranspose(layer, bn_eps=bn_eps)
+            params[f"Layer_{i}"] = convert_convtranspose(Wt, bt_)
+        else:
+            Wt, bt_ = _fold_conv(layer, bn_eps=bn_eps)
+            params[f"Layer_{i}"] = convert_conv(Wt, bt_)
+        if i < len(stack) - 1 and spec.norm == "group":
+            n = layer["norm"]
+            if n is None or n["kind"] != "gn":
+                raise UnsupportedLayerError(
+                    f"stack layer '{layer['name']}' lacks the GroupNorm pair "
+                    "spec.norm requires"
+                )
+            params[f"Norm_{i}"] = convert_groupnorm(n["scale"], n["bias"])
+    return {"params": params}
+
+
+def ingest_foreign_decoder(
+    pt_path: str | Path,
+    yaml_path: str | Path | None = None,
+    *,
+    n_mels: int = 64,
+    groups: Optional[int] = None,
+    bn_eps: float = 1e-5,
+):
+    """torch decoder checkpoint (+optional Hydra YAML) -> (DecoderSpec, flax
+    params, meta). If the checkpoint is a runnable pickled module, its real
+    forward on zeros validates the inferred output shape (the decoder-side
+    analogue of the encoder's forward-hook probe cross-check)."""
+    import torch
+
+    ckpt = torch.load(str(pt_path), map_location="cpu", weights_only=False)
+    sd = split_model_and_state(ckpt)
+    yaml_cfg = load_yaml_cfg(yaml_path) if yaml_path else None
+    spec = infer_decoder_spec_from_state_dict(
+        sd, n_mels=n_mels, groups=groups, yaml_cfg=yaml_cfg
+    )
+    if isinstance(ckpt, torch.nn.Module):
+        try:
+            with torch.no_grad():
+                out = ckpt.eval()(torch.zeros(1, spec.latent_dim))
+            got = tuple(out.shape[-2:])
+        except Exception:
+            got = None
+        if got is not None and got != spec.out_hw:
+            raise UnsupportedLayerError(
+                f"the pickled decoder reconstructs {got}, but the shape "
+                f"inference says {spec.out_hw} (n_mels={n_mels}) — wrong "
+                "n_mels or out-of-vocabulary upsampling"
+            )
+    params = map_foreign_decoder_state_dict(sd, spec, bn_eps=bn_eps)
+    meta = {
+        "source": str(pt_path),
+        "yaml": str(yaml_path) if yaml_path else None,
+        "out_hw": list(spec.out_hw),
+        "norm": spec.norm,
+        "n_tensors": len([k for k in sd if "num_batches_tracked" not in k]),
+    }
+    return spec, params, meta
 
 
 # ---------------------------------------------------------------------------

@@ -24,6 +24,13 @@ Flow:
 `encoder_forward_f32` is the hand-rolled twin of `ConvVAEEncoder.__call__`
 used for calibration; `tests/test_quant.py` pins it to the flax module
 bit-for-bit so the calibration scales describe the real serving network.
+
+Both downsample families compose: the native stride family (two convs per
+block) and the ingested avgpool family (one conv per block + AvgPool2d(2) —
+the pool is a fixed linear op run in f32 after the activation, so the
+quantization recipe is exactly the stride family's applied to the single
+conv). Drift bounds are the same (cosine > 0.97, rel L2 < 0.25; pinned in
+tests/test_quant.py for an ingested torch avgpool checkpoint).
 """
 
 from __future__ import annotations
@@ -84,6 +91,24 @@ def _conv_f32(x, kernel, bias, stride: int, pads):
     return y.reshape(*p.shape[:3], -1)
 
 
+def _avg_pool2(x):
+    """AvgPool2d(2) VALID — floor halving, torch/`nn.avg_pool` semantics
+    (the odd remainder row/column is dropped). A fixed linear op: it needs
+    no quantization; the int8 path runs it in f32 after the activation."""
+    b, h, w, c = x.shape
+    h2, w2 = h // 2, w // 2
+    return x[:, : h2 * 2, : w2 * 2, :].reshape(b, h2, 2, w2, 2, c).mean(axis=(2, 4))
+
+
+def _block_convs(cfg: VAEConfig):
+    """(conv_index, stride) pairs per encoder block for the config's
+    downsample family: stride = (Conv_0 s2, Conv_1 s1); avgpool = one
+    stride-1 Conv_0 followed by the pool (models/vae.py EncoderBlock)."""
+    if getattr(cfg, "downsample", "stride") == "avgpool":
+        return ((0, 1),)
+    return ((0, 2), (1, 1))
+
+
 def encoder_forward_f32(params: Any, cfg: VAEConfig, x: jax.Array, *, collect=None):
     """Hand-rolled twin of ConvVAEEncoder.__call__ (deterministic path).
 
@@ -100,19 +125,18 @@ def encoder_forward_f32(params: Any, cfg: VAEConfig, x: jax.Array, *, collect=No
 
     for i in range(len(cfg.widths)):
         blk = p[f"EncoderBlock_{i}"]
-        pads = _conv_pads(cfg, x.shape[1], x.shape[2], 2)
-        note(f"EncoderBlock_{i}/Conv_0", x)
-        x = _conv_f32(x, blk["Conv_0"]["kernel"], blk["Conv_0"]["bias"], 2, pads)
-        if cfg.norm == "group":
-            x = _group_norm(x, blk["GroupNorm_0"]["scale"], blk["GroupNorm_0"]["bias"],
-                            cfg.groups, cfg.gn_eps)
-        x = act(x)
-        note(f"EncoderBlock_{i}/Conv_1", x)
-        x = _conv_f32(x, blk["Conv_1"]["kernel"], blk["Conv_1"]["bias"], 1, ((1, 1), (1, 1)))
-        if cfg.norm == "group":
-            x = _group_norm(x, blk["GroupNorm_1"]["scale"], blk["GroupNorm_1"]["bias"],
-                            cfg.groups, cfg.gn_eps)
-        x = act(x)
+        for j, stride in _block_convs(cfg):
+            pads = _conv_pads(cfg, x.shape[1], x.shape[2], stride)
+            note(f"EncoderBlock_{i}/Conv_{j}", x)
+            x = _conv_f32(x, blk[f"Conv_{j}"]["kernel"], blk[f"Conv_{j}"]["bias"],
+                          stride, pads)
+            if cfg.norm == "group":
+                x = _group_norm(x, blk[f"GroupNorm_{j}"]["scale"],
+                                blk[f"GroupNorm_{j}"]["bias"],
+                                cfg.groups, cfg.gn_eps)
+            x = act(x)
+        if getattr(cfg, "downsample", "stride") == "avgpool":
+            x = _avg_pool2(x)
     x = x.reshape(x.shape[0], -1)
     note("Dense_0", x)
     x = act(x @ p["Dense_0"]["kernel"] + p["Dense_0"]["bias"])
@@ -140,12 +164,6 @@ def quantize_encoder(params: Any, cfg: VAEConfig, calib_x: jax.Array | None = No
     row alone, so cached quantized latents stay a reproducible function of
     the ``_q8`` cache key regardless of batch size or batch-mates).
     """
-    if getattr(cfg, "downsample", "stride") != "stride":
-        raise NotImplementedError(
-            "int8 serving supports the native stride family only; "
-            f"downsample={cfg.downsample!r} (ingested avgpool checkpoints "
-            "serve in f32/bf16)"
-        )
     collect: dict = {}
     if calib_x is not None:
         encoder_forward_f32(params, cfg, calib_x, collect=collect)
@@ -153,7 +171,7 @@ def quantize_encoder(params: Any, cfg: VAEConfig, calib_x: jax.Array | None = No
     q: dict = {"conv": {}, "act_scale": {}, "gn": {}, "f32": {}}
     for i in range(len(cfg.widths)):
         blk = p[f"EncoderBlock_{i}"]
-        for j in (0, 1):
+        for j, _ in _block_convs(cfg):
             name = f"EncoderBlock_{i}/Conv_{j}"
             wq, sw = _quant_weight(blk[f"Conv_{j}"]["kernel"])
             q["conv"][name] = {"wq": wq, "sw": sw, "bias": blk[f"Conv_{j}"]["bias"]}
@@ -217,7 +235,7 @@ def encoder_apply_quantized(q: dict, cfg: VAEConfig, x: jax.Array) -> dict:
         )
 
     for i in range(len(cfg.widths)):
-        for j, stride in ((0, 2), (1, 1)):
+        for j, stride in _block_convs(cfg):
             name = f"EncoderBlock_{i}/Conv_{j}"
             c = q["conv"][name]
             sx = act_scale(name, x)
@@ -228,6 +246,11 @@ def encoder_apply_quantized(q: dict, cfg: VAEConfig, x: jax.Array) -> dict:
                 gn = q["gn"][f"EncoderBlock_{i}/GroupNorm_{j}"]
                 x = _group_norm(x, gn["scale"], gn["bias"], cfg.groups, cfg.gn_eps)
             x = act(x)
+        if getattr(cfg, "downsample", "stride") == "avgpool":
+            # the pool is a fixed linear op over the dequantized activations
+            # — no scales to carry; quantizing around it is exactly the
+            # stride-family recipe on the single conv per block
+            x = _avg_pool2(x)
     x = x.reshape(x.shape[0], -1)
     c, sx = q["conv"]["Dense_0"], act_scale("Dense_0", x)
     y = _int8_dot(_quant_x(x, sx), c["wq"]).astype(jnp.float32) * (sx * c["sw"]) + c["bias"]

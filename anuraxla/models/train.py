@@ -74,11 +74,31 @@ def make_optimizer(tc: TrainConfig) -> optax.GradientTransformation:
     return optax.adamw(sched, weight_decay=tc.weight_decay)
 
 
-def create_train_state(cfg: VAEConfig, tc: TrainConfig) -> tuple[ConvVAE, TrainState]:
-    vae = ConvVAE(cfg)
+def create_train_state(
+    cfg: VAEConfig,
+    tc: TrainConfig,
+    *,
+    decoder_spec=None,
+    init_params=None,
+) -> tuple[ConvVAE, TrainState]:
+    """``decoder_spec`` swaps in an ingested foreign-structure decoder;
+    ``init_params`` warm-starts from given params (e.g. ingested reference
+    weights — train-vae --init-from) instead of random init."""
+    vae = ConvVAE(cfg, decoder_spec=decoder_spec)
     rng = jax.random.PRNGKey(tc.seed)
     t, m = cfg.input_hw
     params = vae.init({"params": rng}, jnp.zeros((1, t, m, 1), jnp.float32), rng=rng)
+    if init_params is not None:
+        import jax.tree_util as jtu
+
+        tmpl = jtu.tree_structure(params)
+        got = jtu.tree_structure(init_params)
+        if tmpl != got:
+            raise ValueError(
+                f"init_params structure does not match the architecture: "
+                f"{got} vs {tmpl}"
+            )
+        params = init_params
     state = TrainState.create(apply_fn=vae.apply, params=params, tx=make_optimizer(tc))
     return vae, state
 
@@ -122,16 +142,22 @@ def train_loop(
     log_every: int = 50,
     log_fn=print,
     initial_state: TrainState | None = None,
+    decoder_spec=None,
+    init_params=None,
 ):
     """Single-host training loop over an iterator of [B, T, M, 1] batches.
-    ``initial_state`` resumes from a restored checkpoint. Sharded multi-chip
-    training lives in anuraxla.parallel.train_sharded."""
+    ``initial_state`` resumes from a restored checkpoint; ``init_params``
+    warm-starts step 0 from given params (train-vae --init-from);
+    ``decoder_spec`` trains an ingested foreign-structure decoder. Sharded
+    multi-chip training lives in anuraxla.parallel.train_sharded."""
     if initial_state is not None:
         # resume: only the module object is needed — don't pay a full
         # param+optimizer init just to throw it away
-        vae, state = ConvVAE(cfg), initial_state
+        vae, state = ConvVAE(cfg, decoder_spec=decoder_spec), initial_state
     else:
-        vae, state = create_train_state(cfg, tc)
+        vae, state = create_train_state(
+            cfg, tc, decoder_spec=decoder_spec, init_params=init_params
+        )
     step_fn = jax.jit(make_train_step(vae, tc.beta, tc.kl_warmup_steps, tc.kl_delay_steps))
     rng = jax.random.PRNGKey(tc.seed + 1)
     n = num_steps if num_steps is not None else tc.total_steps

@@ -184,15 +184,106 @@ class ConvVAEDecoder(nn.Module):
         return x
 
 
+@dataclasses.dataclass(frozen=True)
+class DecoderSpec:
+    """Structure of an INGESTED foreign decoder (models.hydra_ingest parses
+    it from a torch state_dict's shapes) — the decoder-side analogue of the
+    torch-compat knobs on VAEConfig. The reference's thesis baseline ships a
+    decoder artifact alongside the encoder
+    (``ref:docs/REPRODUCE_THESIS_BASELINE.md:33-42``, models-dir contract
+    ``ref:map_detector_core.py:64-76``); this is how it becomes servable.
+
+    Grammar (the ingest vocabulary; activations after every layer except the
+    final conv): ``dense_widths`` linear layers from the latent, reshape to
+    ``(bottleneck_hw, bottleneck_c)`` (torch reshapes NCHW — the mapper
+    reorders the last linear's output rows), then ``stack`` entries of
+    ("convt", w)  = ConvTranspose(4x4, stride 2)  [torch k4 s2 p1],
+    ("upconv", w) = nearest x2 upsample + Conv(3x3) [torch Upsample+Conv2d],
+    ("conv", w)   = Conv(3x3, stride 1); the last entry is the output conv
+    (no norm, no activation)."""
+
+    latent_dim: int
+    dense_widths: tuple[int, ...]
+    bottleneck_hw: tuple[int, int]  # (H, W) after the NCHW->NHWC reshape
+    bottleneck_c: int
+    stack: tuple[tuple[str, int], ...]
+    norm: str = "group"
+    groups: int = 8
+    gn_eps: float = 1e-5
+    activation: str = "silu"
+
+    @property
+    def out_hw(self) -> tuple[int, int]:
+        n_up = sum(1 for kind, _ in self.stack if kind in ("convt", "upconv"))
+        return (self.bottleneck_hw[0] * 2**n_up, self.bottleneck_hw[1] * 2**n_up)
+
+    @property
+    def out_channels(self) -> int:
+        return self.stack[-1][1]
+
+
+class IngestedDecoder(nn.Module):
+    """z [B, D] -> [B, T, M, out_channels], replaying a DecoderSpec with
+    torch-parity math (ConvTranspose kernels are flipped+transposed at ingest
+    so flax SAME reproduces torch k4 s2 p1 bitwise; nearest upsample is
+    jnp.repeat). Layer names are positional (Dense_i / Layer_i / Norm_i) so
+    the shape-based mapper has deterministic slots."""
+
+    spec: DecoderSpec
+
+    @nn.compact
+    def __call__(self, z):
+        spec = self.spec
+        act = getattr(nn, spec.activation)
+        x = z.astype(jnp.float32)
+        for i, w in enumerate(spec.dense_widths):
+            x = nn.Dense(w, name=f"Dense_{i}")(x)
+            x = act(x)
+        h, wd = spec.bottleneck_hw
+        x = x.reshape(-1, h, wd, spec.bottleneck_c)
+        last = len(spec.stack) - 1
+        for i, (kind, w) in enumerate(spec.stack):
+            if kind == "convt":
+                x = nn.ConvTranspose(w, (4, 4), strides=(2, 2), padding="SAME",
+                                     name=f"Layer_{i}")(x)
+            else:
+                if kind == "upconv":
+                    x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+                x = nn.Conv(w, (3, 3), strides=(1, 1), padding="SAME",
+                            name=f"Layer_{i}")(x)
+            if i < last:
+                if spec.norm == "group":
+                    x = nn.GroupNorm(num_groups=min(spec.groups, w),
+                                     epsilon=spec.gn_eps, name=f"Norm_{i}")(x)
+                x = act(x)
+        return x
+
+
 class ConvVAE(nn.Module):
     """Full VAE: encode (reparameterized), decode, return everything the
-    training loss needs."""
+    training loss needs. ``decoder_spec`` swaps the native decoder for an
+    ingested foreign-structure decoder (train-vae --init-from warm start);
+    its out_hw must equal cfg.input_hw for the recon loss."""
 
     cfg: VAEConfig
+    decoder_spec: DecoderSpec | None = None
 
     def setup(self):
         self.encoder = ConvVAEEncoder(self.cfg)
-        self.decoder = ConvVAEDecoder(self.cfg)
+        if self.decoder_spec is not None:
+            if self.decoder_spec.out_hw != tuple(self.cfg.input_hw):
+                raise ValueError(
+                    f"decoder_spec reconstructs {self.decoder_spec.out_hw}, "
+                    f"encoder consumes {tuple(self.cfg.input_hw)}"
+                )
+            if self.decoder_spec.latent_dim != self.cfg.latent_dim:
+                raise ValueError(
+                    f"decoder_spec.latent_dim={self.decoder_spec.latent_dim} "
+                    f"!= cfg.latent_dim={self.cfg.latent_dim}"
+                )
+            self.decoder = IngestedDecoder(self.decoder_spec)
+        else:
+            self.decoder = ConvVAEDecoder(self.cfg)
 
     def __call__(self, x, *, rng: jax.Array | None = None):
         enc = self.encoder(x, rng=rng)
@@ -211,12 +302,19 @@ def init_encoder(cfg: VAEConfig, seed: int = 0):
     return enc, params
 
 
-def init_vae(cfg: VAEConfig, seed: int = 0):
-    vae = ConvVAE(cfg)
+def init_vae(cfg: VAEConfig, seed: int = 0, decoder_spec: DecoderSpec | None = None):
+    vae = ConvVAE(cfg, decoder_spec=decoder_spec)
     t, m = cfg.input_hw
     rng = jax.random.PRNGKey(seed)
     params = vae.init({"params": rng}, jnp.zeros((1, t, m, 1), jnp.float32), rng=rng)
     return vae, params
+
+
+def init_ingested_decoder(spec: DecoderSpec, seed: int = 0):
+    """Initialize IngestedDecoder params (the template ingest restores into)."""
+    dec = IngestedDecoder(spec)
+    params = dec.init(jax.random.PRNGKey(seed), jnp.zeros((1, spec.latent_dim), jnp.float32))
+    return dec, params
 
 
 def encoder_params_from_vae(vae_params) -> Any:

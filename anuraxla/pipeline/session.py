@@ -57,6 +57,15 @@ class EncoderSession:
     # the fused-RMS scale is computed on the sliced valid region), so the
     # cache fingerprint does NOT split. Requires parity+pallas+hop%128==0.
     pre_padded_host: bool = False
+    # Broadband-noise injection for robustness evaluation (benchmark-folder
+    # --add-noise-db / --snr-sweep): per-row white noise at this SNR (dB,
+    # signal RMS over the valid region) is added host-side after decode,
+    # then clipped to [-1, 1] like the RMS normalizer. Deterministic per
+    # GLOBAL row index + noise_seed, so a file's noised latent never depends
+    # on batch composition (the same reproducibility contract as the int8
+    # per-row scales). None = clean. Splits the latent-cache fingerprint.
+    add_noise_db: Optional[float] = None
+    noise_seed: int = 0
     num_threads: int = 16
     _enc: object = None
     _params: object = None
@@ -212,6 +221,29 @@ class EncoderSession:
             self.load()
         return self
 
+    def _inject_noise(self, audio: np.ndarray, start_idx: int, n_valid: int) -> np.ndarray:
+        """Row-deterministic broadband noise at ``add_noise_db`` SNR. The
+        noise RNG is seeded by (noise_seed, global row index) — identical
+        noise for a given row position regardless of batch size — and the
+        SNR references each row's own RMS over the valid (unpadded) region."""
+        if self.add_noise_db is None:
+            return audio
+        off = 0
+        if self._layout is not None and audio.shape[1] != self.mel.num_samples:
+            off = self._layout[1]
+        L = self.mel.num_samples
+        audio = np.array(audio, np.float32, copy=True)
+        factor = 10.0 ** (-float(self.add_noise_db) / 20.0)
+        for i in range(int(n_valid)):
+            seg = audio[i, off : off + L]
+            rms = float(np.sqrt(np.mean(seg * seg)))
+            if rms <= 0.0:
+                continue
+            g = np.random.default_rng((int(self.noise_seed), start_idx + i))
+            seg += (rms * factor) * g.standard_normal(L).astype(np.float32)
+            np.clip(seg, -1.0, 1.0, out=seg)
+        return audio
+
     def encode_array(self, audio: np.ndarray) -> np.ndarray:
         """[B, num_samples] waveforms -> [B, D] latents (device roundtrip).
 
@@ -219,6 +251,7 @@ class EncoderSession:
         PCM16 (half the bytes — exactly lossless when the source files are
         16-bit PCM, which the reference's normalized datasets are; for float
         sources it adds one PCM16 quantization)."""
+        audio = self._inject_noise(np.asarray(audio, np.float32), 0, audio.shape[0])
         return np.asarray(self._dispatch(audio))[: audio.shape[0]]
 
     def _dispatch(self, audio: np.ndarray):
@@ -265,7 +298,8 @@ class EncoderSession:
         ):
             ok[pos : pos + n_valid] = batch.ok[:n_valid]
             errors[pos : pos + n_valid] = batch.errors[:n_valid]
-            cur = (self._dispatch(batch.audio), pos, n_valid)
+            audio = self._inject_noise(batch.audio, pos, n_valid)
+            cur = (self._dispatch(audio), pos, n_valid)
             if pending is not None:
                 z, p0, nv = pending
                 Z[p0 : p0 + nv] = np.asarray(z)[:nv]
@@ -337,6 +371,13 @@ def session_fingerprint(session: EncoderSession) -> str:
         # itself, so the same file yields different latents than a session
         # that expects pre-normalized chunks — the key must split
         + ("_ndev" if getattr(session, "normalize_on_device", False) else "")
+        # robustness-eval noise injection changes latents deterministically
+        # per (seed, row) — a noised run must never poison clean caches
+        + (
+            f"_nz{session.add_noise_db:g}s{session.noise_seed}"
+            if getattr(session, "add_noise_db", None) is not None
+            else ""
+        )
     )
     session._fingerprint = fp
     return fp

@@ -567,11 +567,15 @@ def test_avgpool_checkpoint_ingests_to_parity(tmp_path, rng):
     out = ConvVAEEncoder(cfg).apply(params, jnp.asarray(x.transpose(0, 2, 3, 1)))
     np.testing.assert_allclose(np.asarray(out["mu"]), ref, rtol=5e-4, atol=2e-5)
 
-    # int8 serving names the unsupported family instead of mis-quantizing
-    from anuraxla.models.quant import quantize_encoder
+    # int8 serving composes with the avgpool family (r4; drift bounds pinned
+    # in tests/test_quant.py::test_quantize_ingested_avgpool_checkpoint)
+    from anuraxla.models.quant import encoder_apply_quantized, quantize_encoder
 
-    with pytest.raises(NotImplementedError, match="stride family"):
-        quantize_encoder(params, cfg)
+    q = quantize_encoder(params, cfg)
+    mu_q = np.asarray(encoder_apply_quantized(q, cfg, jnp.asarray(
+        x.transpose(0, 2, 3, 1)))["mu"])
+    rel = np.linalg.norm(mu_q - ref, axis=-1) / np.linalg.norm(ref, axis=-1)
+    assert rel.max() < 0.25, f"int8 avgpool drift {rel}"
 
 
 def test_avgpool_norm_free_state_dict_ingests(tmp_path, rng):
@@ -635,13 +639,13 @@ def test_ambiguous_chain_probe_and_override(tmp_path, rng, capsys):
     out = ConvVAEEncoder(cfg).apply(params, jnp.asarray(x.transpose(0, 2, 3, 1)))
     np.testing.assert_allclose(np.asarray(out["mu"]), ref, rtol=5e-4, atol=2e-5)
 
-    # (b) bare state_dict: stride is preferred but the ambiguity is LOUD
+    # (b) bare state_dict: stride is preferred but the ambiguity is LOUD —
+    # as a real warning (library-filterable; the CLI reprints it on stdout)
     pt_sd = tmp_path / "amb_sd.pt"
     torch.save(mod.state_dict(), pt_sd)
-    capsys.readouterr()
-    cfg_sd, _, _ = ingest_foreign_checkpoint(pt_sd, n_mels=M)
+    with pytest.warns(UserWarning, match="ambiguous checkpoint"):
+        cfg_sd, _, _ = ingest_foreign_checkpoint(pt_sd, n_mels=M)
     assert cfg_sd.downsample == "stride"
-    assert "ambiguous checkpoint" in capsys.readouterr().out
 
     # (c) explicit override recovers the correct reading from shapes alone
     cfg_ov, params_ov, _ = ingest_foreign_checkpoint(
