@@ -28,7 +28,13 @@ from anuraxla.utils.io import load_json
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--wav", required=True, type=str, help="long recording to scan")
+    p.add_argument("--wav", type=str, default=None, help="long recording to scan")
+    p.add_argument("--root", type=str, default=None,
+                   help="fleet mode: scan EVERY .wav under this directory "
+                   "(recursive) through one session — windows from all "
+                   "recordings pack into shared device batches; per-file "
+                   "detection CSVs land next to each recording (or under "
+                   "--out as a directory)")
     p.add_argument("--config", type=str, default=None)
     p.add_argument("--detector", type=str, default="radial", choices=["radial", "map"])
     p.add_argument("--hop-seconds", type=float, default=None,
@@ -54,9 +60,21 @@ def main() -> None:
     cfg_path = resolve_config(args.config or "config.json", project_root)
     cfg = load_json(cfg_path)
 
-    wav = Path(args.wav).expanduser().resolve()
-    if not wav.exists():
-        raise SystemExit(f"❌ WAV not found: {wav}")
+    if bool(args.wav) == bool(args.root):
+        raise SystemExit("❌ pass exactly one of --wav (single recording) or "
+                         "--root (fleet mode)")
+    if args.wav:
+        wavs = [Path(args.wav).expanduser().resolve()]
+        if not wavs[0].exists():
+            raise SystemExit(f"❌ WAV not found: {wavs[0]}")
+    else:
+        root = Path(args.root).expanduser().resolve()
+        if not root.is_dir():
+            raise SystemExit(f"❌ --root not a directory: {root}")
+        wavs = sorted(root.rglob("*.wav"))
+        if not wavs:
+            raise SystemExit(f"❌ no .wav files under {root}")
+        print(f"🎙️ fleet scan: {len(wavs)} recordings under {root}")
 
     session = EncoderSession(
         mel=mel_from_args(args, duration=5.0),
@@ -69,24 +87,40 @@ def main() -> None:
         **session_kwargs(args),
     )
 
-    dets = scan_soundscape(
-        wav, session,
+    from anuraxla.pipeline.stream import scan_soundscapes
+
+    per_file, stats = scan_soundscapes(
+        wavs, session,
         detector=args.detector, config=cfg,
         hop_seconds=args.hop_seconds,
         normalize=not args.no_normalize,
     )
 
-    out = Path(args.out) if args.out else wav.with_suffix(".detections.csv")
     score_name = "best_distance" if args.detector == "radial" else "best_score"
-    write_detections_csv(dets, out, score_name)
-    print(f"💾 detections: {out}")
+    out_dir = None
+    if args.root:
+        out_dir = Path(args.out).expanduser().resolve() if args.out else None
+        if out_dir is not None:
+            out_dir.mkdir(parents=True, exist_ok=True)
+    for wav, dets in per_file.items():
+        if args.wav and args.out:
+            out = Path(args.out)
+        elif out_dir is not None:
+            out = out_dir / (wav.stem + ".detections.csv")
+        else:
+            out = wav.with_suffix(".detections.csv")
+        write_detections_csv(dets, out, score_name)
+        print(f"💾 detections: {out}")
 
     if args.extract_dir:
         from anuraxla.pipeline.stream import extract_detected_chunks
 
-        extract_detected_chunks(wav, dets, Path(args.extract_dir), sr=session.mel.sr)
+        for wav, dets in per_file.items():
+            extract_detected_chunks(wav, dets, Path(args.extract_dir), sr=session.mel.sr)
 
-    counts = Counter(d.species or "NO_DETECT" for d in dets)
+    counts = Counter(
+        d.species or "NO_DETECT" for dets in per_file.values() for d in dets
+    )
     for sp, n in counts.most_common():
         print(f"  {sp:30s} {n:6d} windows")
 

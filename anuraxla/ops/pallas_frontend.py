@@ -395,7 +395,8 @@ def _split_bf16(x):
 
 def _ct_outer_stage(
     inner, chi_ref, clo_ref, shi_ref, slo_ref, fbhi_ref, fblo_ref,
-    *, exact: bool, n_half: int, interleave: bool = True
+    *, exact: bool, n_half: int, interleave: bool = True,
+    ablate: frozenset = frozenset(),
 ):
     """Outer CT stage shared by the stack- and phase-assembled kernels:
     per-r [T,128]x[128,128] MXU matmuls against twiddle-folded bases, power,
@@ -404,19 +405,33 @@ def _ct_outer_stage(
     zero). ``interleave=True`` (default) pulls each r's inner combine just
     before its dots so the VPU work hides under the MXU pipeline;
     ``False`` reproduces the legacy staged order (all VPU, then all MXU)
-    for A/B measurement."""
+    for A/B measurement. ``ablate`` (PROFILING ONLY — wrong output) drops
+    one op class while keeping the rest: 'splits' (lo = hi, no split
+    subtract/convert), 'dots' (1 MXU pass per logical matmul instead of 3),
+    'power' (skip the squares), 'fb' (skip the filterbank accumulation)."""
     d = lambda x, y: jnp.dot(x, y, preferred_element_type=jnp.float32)  # noqa: E731
 
-    def dot3h(a_split, b_hi, b_lo):
-        """~f32-accurate matmul as THREE native bf16 MXU passes (hi·hi +
-        hi·lo + lo·hi, f32 accumulation; the dropped lo·lo term is ~2^-32
-        relative). Mosaic lowers only DEFAULT/HIGHEST dot precisions;
-        HIGHEST is a 6-pass f32 emulation, so the manual split halves
-        exact-mode MXU time — measured ~6e-6 max relative error vs the XLA
-        HIGHEST oracle on the mel power (≈3e-5 dB). RHS tables arrive
-        pre-split from the host."""
-        a_hi, a_lo = a_split
-        return d(a_hi, b_hi) + d(a_hi, b_lo) + d(a_lo, b_hi)
+    if "splits" in ablate:
+        def split(x):
+            h = x.astype(jnp.bfloat16)
+            return h, h
+    else:
+        split = _split_bf16
+
+    if "dots" in ablate:
+        def dot3h(a_split, b_hi, b_lo):
+            return d(a_split[0], b_hi)
+    else:
+        def dot3h(a_split, b_hi, b_lo):
+            """~f32-accurate matmul as THREE native bf16 MXU passes (hi·hi +
+            hi·lo + lo·hi, f32 accumulation; the dropped lo·lo term is
+            ~2^-32 relative). Mosaic lowers only DEFAULT/HIGHEST dot
+            precisions; HIGHEST is a 6-pass f32 emulation, so the manual
+            split halves exact-mode MXU time — measured ~6e-6 max relative
+            error vs the XLA HIGHEST oracle on the mel power (≈3e-5 dB).
+            RHS tables arrive pre-split from the host."""
+            a_hi, a_lo = a_split
+            return d(a_hi, b_hi) + d(a_hi, b_lo) + d(a_lo, b_hi)
 
     if not interleave:
         staged = [inner(r) for r in range(n_half)]
@@ -427,16 +442,22 @@ def _ct_outer_stage(
         a_re, a_im = inner(r)  # a_re is never None for real input
         sl = slice(r * 128, (r + 1) * 128)
         if exact:
-            ar = _split_bf16(a_re)
+            ar = split(a_re)
             # x = a @ (C - iS): re = a_re@C + a_im@S, im = a_im@C - a_re@S
             x_re = dot3h(ar, chi_ref[sl, :], clo_ref[sl, :])
             x_im = -dot3h(ar, shi_ref[sl, :], slo_ref[sl, :])
             if a_im is not None:
-                ai = _split_bf16(a_im)
+                ai = split(a_im)
                 x_re = x_re + dot3h(ai, shi_ref[sl, :], slo_ref[sl, :])
                 x_im = x_im + dot3h(ai, chi_ref[sl, :], clo_ref[sl, :])
-            p = x_re * x_re + x_im * x_im  # [T, 128] power at k = q*R + r
-            contrib = dot3h(_split_bf16(p), fbhi_ref[sl, :], fblo_ref[sl, :])
+            if "power" in ablate:
+                p = x_re
+            else:
+                p = x_re * x_re + x_im * x_im  # [T,128] power at k = q*R + r
+            if "fb" in ablate:
+                contrib = p[:, : fbhi_ref.shape[1]]
+            else:
+                contrib = dot3h(split(p), fbhi_ref[sl, :], fblo_ref[sl, :])
         else:
             ar = a_re.astype(jnp.bfloat16)
             x_re = d(ar, chi_ref[sl, :])
@@ -994,14 +1015,31 @@ def mel_power_pallas(
         # per-step amortization knobs (bench_kernel_variants sweeps these):
         # tile_t frames per grid step (must be a multiple of 8; bigger tiles
         # amortize per-step fixed costs against padding waste), row_block
-        # batch rows per grid step (pure amortization, no padding cost)
-        tile_t = TILE_T if tile_t is None else tile_t
+        # batch rows per grid step (pure amortization, no padding cost).
+        # Mosaic-legality constraint (measured on-chip r4, hop=160): the
+        # kernel's [8, s2] -> [stride] row flatten is a supported shape cast
+        # only when each sublane row is a whole number of 1-D (8,128) tiles,
+        # i.e. s2 = tile_t*hop/8 must be a multiple of 1024 — so
+        # tile_t*hop % 8192 == 0. hop is a multiple of 32, so the minimal
+        # legal tile is the power of two t0 = 8192/gcd(hop, 8192) <= 256
+        # (128 for the default hop 384; 256 for e.g. hop 160/96).
+        t0 = 8192 // _math.gcd(hop, 8192)
+        if tile_t is None:
+            tile_t = max(TILE_T, t0)
+        elif tile_t % t0 != 0:
+            raise ValueError(
+                f"tile_t={tile_t} is Mosaic-illegal for hop={hop}: "
+                f"tile_t*hop must be a multiple of 8192 (min tile {t0})"
+            )
         if row_block is None:
             # r3 sweep (scripts/bench_kernel_variants.py on v5e): rb=4 is the
             # winner at 31.8k chunks/s frontend-exact vs 29.8k at rb=1 (rb=8
             # fails Mosaic compile; bigger tile_t LOSES — 320 gives 23.6k).
             # Adaptive so tiny/odd batches don't pay padding for the default.
-            rb = 4 if B % 4 == 0 else (2 if B % 2 == 0 else 1)
+            # rb*tile_t > 512 also fails remote compile (measured r4 at
+            # tile_t=256/rb=4), so bigger tiles cap the row block.
+            rb_cap = max(1, 512 // tile_t)
+            rb = next(r for r in (4, 2, 1) if r <= rb_cap and B % r == 0)
         else:
             rb = row_block
         # measured negative (same sweep): concatenating the 3-pass split

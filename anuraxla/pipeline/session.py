@@ -267,7 +267,7 @@ class EncoderSession:
             staged = np.zeros((audio.shape[0], row_len), np.float32)
             staged[:, off : off + self.mel.num_samples] = audio
             audio = staged
-        if self.transfer_int16:
+        if self.transfer_int16 and audio.dtype != np.int16:
             audio = np.clip(np.round(audio * 32768.0), -32768, 32767).astype(np.int16)
         if getattr(self, "_data_axis", 1) > 1 and audio.shape[0] % self._data_axis:
             from anuraxla.parallel.mesh import pad_to_multiple

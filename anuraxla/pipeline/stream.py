@@ -56,33 +56,84 @@ def window_batches(
     target_sr: int,
     normalize: bool = False,
     prefetch: bool = True,
+    layout: Optional[tuple[int, int]] = None,
 ) -> Iterator[tuple[np.ndarray, np.ndarray, int]]:
-    """Yield ([B, num_samples] float32, start_frames [B], n_valid). The last
-    batch is zero-padded to the fixed size. Resamples (and optionally RMS
-    normalizes) per window when preparing the batch. With ``prefetch`` the
-    next batch is extracted on a background thread while the caller computes
-    on the current one — same overlap structure as dataset.iter_batches."""
+    """Single-recording wrapper over :func:`fleet_window_batches` (kept for
+    its simpler (batch, starts, n_valid) yield shape)."""
+    for batch, tags, n_valid in fleet_window_batches(
+        [stream], num_samples=num_samples, hop_samples=hop_samples,
+        batch_size=batch_size, target_sr=target_sr, normalize=normalize,
+        prefetch=prefetch, layout=layout,
+    ):
+        yield batch, tags[:, 1], n_valid
+
+
+def fleet_window_batches(
+    streams: List[WavStream],
+    *,
+    num_samples: int,
+    hop_samples: int,
+    batch_size: int,
+    target_sr: int,
+    normalize: bool = False,
+    prefetch: bool = True,
+    layout: Optional[tuple[int, int]] = None,
+    emit_int16: bool = False,
+) -> Iterator[tuple[np.ndarray, np.ndarray, int]]:
+    """Yield ([B, row_len] float32, tags [B, 2] = (file_idx, start_frame),
+    n_valid) over the CONCATENATED window schedule of every recording —
+    batches at file boundaries mix windows from adjacent recordings, so the
+    device always sees full batches regardless of per-file window counts.
+
+    ``layout`` = (row_len, col_offset): extract each window directly at the
+    Pallas phase kernel's pre-padded column offset (ROADMAP item 4 — the
+    extraction thread writes at the pad offset for free, and the device
+    skips its signal-sized jnp.pad). Without it rows are [B, num_samples].
+    Resampling (per-file sr) and optional host RMS normalization apply to the
+    valid region only. With ``prefetch`` the next batch is extracted on a
+    background thread while the caller computes on the current one.
+
+    ``emit_int16``: batches stay raw int16 (bitwise what the transfer_int16
+    link would re-quantize, at zero host CPU — WavStream.read_i16). Only
+    honored when every stream is PCM16 mono at target_sr and ``normalize``
+    is False; otherwise silently falls back to float32 rows."""
     from anuraxla.utils.wavio import resample
 
-    scale = stream.sr / target_sr
-    src_win = int(round(num_samples * scale))
-    src_hop = int(round(hop_samples * scale))
-    starts = list(range(0, max(stream.num_frames - 1, 1), src_hop))
-    chunks = [starts[i : i + batch_size] for i in range(0, len(starts), batch_size)]
+    emit_int16 = (
+        emit_int16
+        and not normalize
+        and all(st.is_pcm16_mono and st.sr == target_sr for st in streams)
+    )
+    dtype = np.int16 if emit_int16 else np.float32
+    row_len, off = layout if layout is not None else (num_samples, 0)
+    sched: List[tuple[int, int]] = []
+    for fi, st in enumerate(streams):
+        scale = st.sr / target_sr
+        src_hop = max(1, int(round(hop_samples * scale)))
+        sched.extend(
+            (fi, s) for s in range(0, max(st.num_frames - 1, 1), src_hop)
+        )
+    chunks = [sched[i : i + batch_size] for i in range(0, len(sched), batch_size)]
 
-    def load(chunk: List[int]) -> tuple[np.ndarray, np.ndarray, int]:
-        batch = np.zeros((batch_size, num_samples), np.float32)
-        for j, s in enumerate(chunk):
-            y = stream.read(s, src_win)
-            if stream.sr != target_sr:
-                y = resample(y, stream.sr, target_sr)
+    def load(chunk: List[tuple[int, int]]):
+        batch = np.zeros((batch_size, row_len), dtype)
+        for j, (fi, s) in enumerate(chunk):
+            st = streams[fi]
+            if emit_int16:
+                y = st.read_i16(s, num_samples)
+            elif st.sr != target_sr:
+                scale = st.sr / target_sr
+                y = resample(st.read(s, int(round(num_samples * scale))),
+                             st.sr, target_sr)
                 y = y[:num_samples]
                 if y.shape[0] < num_samples:
                     y = np.pad(y, (0, num_samples - y.shape[0]))
-            batch[j] = y
+            else:
+                y = st.read(s, num_samples)
+            batch[j, off : off + num_samples] = y
         if normalize:
-            _rms_normalize_rows(batch)
-        return batch, np.asarray(chunk), len(chunk)
+            _rms_normalize_rows(batch[:, off : off + num_samples])
+        return batch, np.asarray(chunk, np.int64).reshape(-1, 2), len(chunk)
 
     if not prefetch or len(chunks) <= 1:
         for c in chunks:
@@ -110,6 +161,32 @@ def scan_soundscape(
     log=print,
 ) -> List[Detection]:
     """Scan one long recording; returns per-window detections."""
+    per_file, _stats = scan_soundscapes(
+        [Path(wav_path)], session, detector=detector, config=config,
+        hop_seconds=hop_seconds, normalize=normalize, log=log,
+    )
+    return next(iter(per_file.values()))
+
+
+def scan_soundscapes(
+    wav_paths: List[Path],
+    session: EncoderSession,
+    *,
+    detector: str,
+    config: dict,
+    hop_seconds: Optional[float] = None,
+    normalize: bool = True,
+    log=print,
+) -> tuple[dict, dict]:
+    """Fleet scan: MANY long recordings through ONE session, windows from all
+    of them packed into shared fixed-shape device batches (tagged by source
+    file). A field season of recordings pays one compile and keeps the device
+    batch full across file boundaries, instead of a fresh process + ragged
+    tail batch per file (SURVEY §5.7 names multi-hour *soundscapes*, plural).
+
+    Returns ({path: [Detection...]}, stats) with stats carrying
+    total_audio_seconds / wall_seconds / realtime_x (aggregate) / n_windows.
+    """
     from anuraxla.config import read_map, read_radial
 
     if detector == "radial":
@@ -142,15 +219,17 @@ def scan_soundscape(
         def decide(Z):
             return map_decide(Z, means_d, precs_d, lds_d, priors_d, tau_arr)
 
-    stream = WavStream(wav_path)
-    out: List[Detection] = []
+    wav_paths = [Path(p) for p in wav_paths]
+    streams = [WavStream(p) for p in wav_paths]
+    out: dict = {p: [] for p in wav_paths}
     n_windows = 0
 
-    def emit(res, starts, n_valid):
+    def emit(res, tags, n_valid):
         det, win, best = (np.asarray(x) for x in res)
         for j in range(n_valid):
-            t0 = float(starts[j]) / stream.sr
-            out.append(
+            fi, s = int(tags[j, 0]), int(tags[j, 1])
+            t0 = s / streams[fi].sr
+            out[wav_paths[fi]].append(
                 Detection(
                     t_start=t0,
                     t_end=t0 + chunk_seconds,
@@ -165,7 +244,9 @@ def scan_soundscape(
     # encode+decide for batch i, the host fetches batch i-1's decisions.
     # When the session fuses normalization into the mel op
     # (normalize_on_device), the prefetch thread only extracts — the
-    # per-window RMS runs on device, freeing this (single-core) host.
+    # per-window RMS runs on device, freeing this (single-core) host. With a
+    # pre_padded_host session the thread also writes each window at the
+    # phase kernel's pad offset, so neither host nor device pays a pad.
     host_norm = normalize and not getattr(session, "normalize_on_device", False)
     if not normalize and getattr(session, "normalize_on_device", False):
         raise ValueError(
@@ -175,28 +256,43 @@ def scan_soundscape(
         )
     pending = None
     with stage_timer("scan", log=None) as t:
-        for batch, starts, n_valid in window_batches(
-            stream,
+        for batch, tags, n_valid in fleet_window_batches(
+            streams,
             num_samples=mel.num_samples,
             hop_samples=hop_samples,
             batch_size=session.batch_size,
             target_sr=mel.sr,
             normalize=host_norm,
+            layout=session._layout,
+            # transfer_int16 sessions on PCM16-mono sources: ship the raw
+            # int16 samples — skips BOTH float conversions (bitwise the same
+            # link payload; the np.round/clip re-quantization alone was 19 s
+            # per 2 h of audio on this 1-core host)
+            emit_int16=session.transfer_int16,
         ):
             res = decide(session._dispatch(batch))
             if pending is not None:
                 emit(*pending)
-            pending = (res, starts, n_valid)
+            pending = (res, tags, n_valid)
             n_windows += n_valid
         if pending is not None:
             emit(*pending)
+    total_audio = sum(st.duration_seconds for st in streams)
     rate = n_windows / t.seconds if t.seconds > 0 else float("nan")
+    realtime = total_audio / max(t.seconds, 1e-9)
     log(
-        f"✅ scanned {stream.duration_seconds / 3600:.2f} h in {t.seconds:.1f}s "
-        f"({n_windows} windows, {rate:.1f} windows/s, "
-        f"{stream.duration_seconds / max(t.seconds, 1e-9):.0f}x realtime)"
+        f"✅ scanned {len(streams)} file(s) / {total_audio / 3600:.2f} h in "
+        f"{t.seconds:.1f}s ({n_windows} windows, {rate:.1f} windows/s, "
+        f"{realtime:.0f}x realtime aggregate)"
     )
-    return out
+    stats = {
+        "n_files": len(streams),
+        "total_audio_seconds": total_audio,
+        "wall_seconds": t.seconds,
+        "realtime_x": realtime,
+        "n_windows": n_windows,
+    }
+    return out, stats
 
 
 def extract_detected_chunks(

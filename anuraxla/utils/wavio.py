@@ -236,6 +236,27 @@ class WavStream:
             y = np.pad(y, (0, n - y.shape[0]))
         return y.astype(np.float32)
 
+    @property
+    def is_pcm16_mono(self) -> bool:
+        return self.format == WAVE_FORMAT_PCM and self.bits == 16 and self.channels == 1
+
+    def read_i16(self, start: int, n: int) -> np.ndarray:
+        """Raw int16 segment [n] (PCM16 mono only; zero-padded past EOF) —
+        a pure memmap copy, no float conversion. ``read()`` for these files
+        is exactly ``read_i16().astype(float32) / 32768``, and the
+        transfer_int16 link re-quantization of that float is the identity,
+        so shipping this buffer directly is bitwise-equal to the float
+        round trip at zero host CPU cost (measured 19 s of np.round/clip
+        per 2 h of audio on this 1-core host)."""
+        if not self.is_pcm16_mono:
+            raise ValueError("read_i16 requires a PCM16 mono stream")
+        start = max(0, start)
+        stop = min(start + n, self.num_frames)
+        y = np.asarray(self._mm[start:stop, 0])
+        if y.shape[0] < n:
+            y = np.pad(y, (0, n - y.shape[0]))
+        return y
+
 
 def crop_or_pad_samples(y: np.ndarray, num_samples: int) -> np.ndarray:
     """Force a fixed duration: right-pad with zeros or truncate
