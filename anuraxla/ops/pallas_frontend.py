@@ -413,8 +413,11 @@ def _ct_outer_stage(
 
     if "splits" in ablate:
         def split(x):
+            # lo must stay a DISTINCT value (one cheap negation) so Mosaic
+            # cannot CSE the hi/lo dot passes into one matmul — the ablation
+            # should remove only the split arithmetic, not an MXU pass.
             h = x.astype(jnp.bfloat16)
-            return h, h
+            return h, -h
     else:
         split = _split_bf16
 
@@ -451,7 +454,12 @@ def _ct_outer_stage(
                 x_re = x_re + dot3h(ai, shi_ref[sl, :], slo_ref[sl, :])
                 x_im = x_im + dot3h(ai, chi_ref[sl, :], clo_ref[sl, :])
             if "power" in ablate:
-                p = x_re
+                # x_im must stay LIVE (one cheap add) or Mosaic dead-code
+                # eliminates its S-dots too and the "power" delta silently
+                # includes whole MXU passes (caught in the r4 first run:
+                # p = x_re measured a 5.6 ms "power" cost that was really
+                # the eliminated imaginary-part dots)
+                p = x_re + x_im
             else:
                 p = x_re * x_re + x_im * x_im  # [T,128] power at k = q*R + r
             if "fb" in ablate:
@@ -536,6 +544,8 @@ def _mel_power_ctp_kernel(
     with_scale: bool,
     interleave: bool = True,
     fused: bool = False,
+    batch_rows: bool = False,
+    ablate: frozenset = frozenset(),
 ):
     """Phase-sliced CT mel kernel for hop % 128 == 0 — ZERO frame assembly
     and ZERO host staging. The padded signal is VIEWED (free reshape) as
@@ -559,6 +569,19 @@ def _mel_power_ctp_kernel(
     outer MXU stage, merged filterbank) is identical to the stack kernel —
     see _mel_power_ct_kernel and _ct_tables_folded.
     """
+    def _make_inner(blocks, R):
+        if "inner" in ablate:
+            # PROFILING ONLY (wrong output): drop every inner-stage VPU
+            # combine while keeping the exact downstream matmul structure —
+            # the same (a_re, a_im)-None pattern per r, distinct operands
+            # per r so Mosaic cannot CSE the dots away.
+            def inner(r, _blocks=blocks, _R=R):
+                a_im = None if (r == 0 or 2 * r == _R) else _blocks[(r + 1) % _R]
+                return (_blocks[r], a_im)
+
+            return inner
+        return _inner_dft16(blocks) if R == 16 else _inner_dft_generic(blocks, R)
+
     y_refs = refs[:W2]
     base = W2
     if with_scale:
@@ -581,6 +604,60 @@ def _mel_power_ctp_kernel(
     qmax = (R - 1) // h128
     qpad = _round_up(qmax, 8) if qmax > 0 else 0
 
+    if batch_rows and rb > 1:
+        # Batched-rows variant (r4): ONE inner+outer stage over all rb rows
+        # stacked along sublanes — the MXU dots become [rb*TILE_T,128]x
+        # [128,128] (rb x fewer weight-tile loads per grid step: at rb=1 the
+        # T=128 dots spend ~half their cycles refilling the systolic array)
+        # and the inner-stage/window VPU work issues rb x fewer, larger ops.
+        # Row-independent math throughout (slices, elementwise combines,
+        # row-wise dots), so the output is BITWISE identical to the per-r_i
+        # loop below. 2D ops only: a 3D formulation (middle-dim concat +
+        # leading-dim flatten) fails real-Mosaic compile (HTTP 500, like
+        # r3's fused_dots) — the per-block sublane-axis concat below is the
+        # same op class as the head/tail concat the plain path already uses.
+        cats = []
+        Tt = None
+        for r_i in range(rb):
+            head = y_refs[0][r_i, 0, :, :]  # [TILE_T, h128*128]
+            Tt = head.shape[0]
+            if qpad > 0:
+                cat = jnp.concatenate([head, y_refs[1][r_i, 0, :, :]], axis=0)
+            else:
+                cat = head
+            if with_scale:
+                s = scale_ref[pl.program_id(0) * rb + r_i, 0]
+                cat = jnp.where(s > 0, jnp.clip(cat * s, -1.0, 1.0), cat)
+            cats.append(cat)
+
+        def _blockb(n1):
+            q = 0 if "shifts" in ablate else (n1 // h128)
+            j = (n1 % h128) * 128
+            vs = [c[q : q + Tt, j : j + 128] for c in cats]
+            v = jnp.concatenate(vs, axis=0)  # [rb*TILE_T, 128]
+            if "window" not in ablate:
+                v = v * win_ref[0, n1 * 128 : (n1 + 1) * 128][None, :]
+            return v
+
+        blocks = [_blockb(n1) for n1 in range(R)]
+        inner = _make_inner(blocks, R)
+        if fused:
+            acc = _ct_outer_stage_fused(
+                inner, rhs_real_ref, rhs_cplx_ref, fbcat_ref,
+                exact=exact, n_half=n_half_f,
+            )
+        else:
+            acc = _ct_outer_stage(
+                inner, chi_ref, clo_ref, shi_ref, slo_ref, fbhi_ref, fblo_ref,
+                exact=exact, n_half=n_half, interleave=interleave,
+                ablate=ablate,
+            )
+        # per-row slice writes (the stack kernel's proven pattern; a 3D
+        # reshape write is another real-Mosaic lowering risk)
+        for r_i in range(rb):
+            out_ref[r_i, :, :] = acc[r_i * Tt : (r_i + 1) * Tt, :]
+        return
+
     for r_i in range(rb):
         head = y_refs[0][r_i, 0, :, :]  # [TILE_T, h128*128]
         if qpad > 0:
@@ -599,15 +676,22 @@ def _mel_power_ctp_kernel(
             # raw (no scale, no clip), matching rms_normalize_batch
             s = scale_ref[pl.program_id(0) * rb + r_i, 0]
             cat = jnp.where(s > 0, jnp.clip(cat * s, -1.0, 1.0), cat)
-        blocks = [
-            cat[
-                (n1 // h128) : (n1 // h128) + head.shape[0],
+        def _block(n1):
+            # 'shifts' (PROFILING ONLY): force the sublane offset to 0 —
+            # isolates the cost of the misaligned (non-8-multiple) sublane
+            # shifts q = n1 // h128. Blocks stay distinct via the per-n1
+            # window slice, so downstream ops cannot CSE.
+            q = 0 if "shifts" in ablate else (n1 // h128)
+            v = cat[
+                q : q + head.shape[0],
                 (n1 % h128) * 128 : (n1 % h128 + 1) * 128,
             ]
-            * win_ref[0, n1 * 128 : (n1 + 1) * 128][None, :]
-            for n1 in range(R)
-        ]
-        inner = _inner_dft16(blocks) if R == 16 else _inner_dft_generic(blocks, R)
+            if "window" not in ablate:  # 'window' (PROFILING ONLY): skip Hann
+                v = v * win_ref[0, n1 * 128 : (n1 + 1) * 128][None, :]
+            return v
+
+        blocks = [_block(n1) for n1 in range(R)]
+        inner = _make_inner(blocks, R)
         if fused:
             acc = _ct_outer_stage_fused(
                 inner, rhs_real_ref, rhs_cplx_ref, fbcat_ref,
@@ -617,6 +701,7 @@ def _mel_power_ctp_kernel(
             acc = _ct_outer_stage(
                 inner, chi_ref, clo_ref, shi_ref, slo_ref, fbhi_ref, fblo_ref,
                 exact=exact, n_half=n_half, interleave=interleave,
+                ablate=ablate,
             )
         out_ref[r_i, :, :] = acc
 
@@ -801,6 +886,8 @@ def mel_power_pallas(
     rms_scale: jax.Array | None = None,
     interleave: bool = True,
     pre_padded: bool = False,
+    batch_rows: bool | None = None,
+    ablate: tuple = (),
 ) -> jax.Array:
     """[B, num_samples] -> mel power [B, num_frames, n_mels], fused on TPU.
 
@@ -823,6 +910,18 @@ def mel_power_pallas(
     ``pre_padded``: y is already in the phase-kernel layout (see
     :func:`phase_padded_layout`) — the device-side ``jnp.pad`` is skipped
     entirely. Phase kernel only (hop % 128 == 0, default assembly/tiling).
+
+    ``batch_rows`` (phase kernel only): run ONE inner+outer stage per grid
+    step over all ``row_block`` rows stacked along sublanes ([rb*128, 128]
+    MXU dots instead of rb separate [128, 128] ones — rb x fewer weight-tile
+    loads and rb x fewer VPU op issues, bitwise-identical output). None =
+    auto (resolved from the on-chip A/B, docs/KERNELS.md).
+
+    ``ablate`` (PROFILING ONLY — produces WRONG output): drop one or more
+    in-kernel op classes while keeping the rest, for the on-chip op-class
+    cost study (scripts/probe_kernel_ablation.py). Classes: 'splits'
+    (lo = hi), 'dots' (1 MXU pass per logical matmul), 'power', 'fb',
+    'inner' (trivial inner-stage provider), 'window'. Phase kernel only.
     """
     import math as _math
 
@@ -866,6 +965,12 @@ def mel_power_pallas(
             and not fused_dots
         )
     )
+    if ablate and not use_phase:
+        raise ValueError(
+            "ablate (profiling only) is wired only into the phase kernel"
+        )
+    if batch_rows and not use_phase:
+        raise ValueError("batch_rows is wired only into the phase kernel")
     if pre_padded and not use_phase:
         raise ValueError(
             "pre_padded=True requires the phase kernel (hop % 128 == 0, "
@@ -894,15 +999,27 @@ def mel_power_pallas(
             )
         h128 = hop // 128
         R = n_fft // 128
+        if batch_rows is None:
+            # r4 on-chip A/B (scripts/probe_batch_rows.py, pre-padded fused-
+            # RMS, B=1024): batched rb=4 21.12 ms vs plain rb=8 22.82
+            # (1.08x, bitwise identical on real Mosaic); batched rb=8 fails
+            # compile (VMEM: the stacked blocks + shared inner-DFT stage at
+            # T=1024 exceed the ~16 MB core budget). Auto batches whenever
+            # the resolved rb stays within the compile-proven range.
+            batch_rows = (row_block is None and B > 1) or (
+                row_block is not None and 1 < row_block <= 4
+            )
         if row_block is None:
-            # r3 on-chip sweep (scripts/probe_phase_variants.py, pre-padded
-            # input): rb=8 22.84 ms / rb=4 22.93 / rb=2 25.33 per 1024-batch,
-            # bitwise-identical output — unlike the stack kernel, rb=8
-            # compiles on the phase kernel (no frames scratch to blow VMEM).
-            # Adaptive so tiny/odd batches don't pay padding for the default.
-            rb = next((r for r in (8, 4, 2) if B % r == 0), 1)
+            # adaptive so tiny/odd batches don't pay padding for the default:
+            # batched prefers rb=4 (the r4 operating point); the plain
+            # fallback keeps the r3 sweep's rb=8 (22.84 / rb=4 22.93 /
+            # rb=2 25.33 ms per 1024-batch, bitwise-identical output)
+            cands = (4, 2) if batch_rows else (8, 4, 2)
+            rb = next((r for r in cands if B % r == 0), 1)
         else:
             rb = row_block
+        if rb == 1:
+            batch_rows = False
         qmax = (R - 1) // h128
         W2 = 1 + (TILE_T - 1 + qmax) // TILE_T  # phase row-blocks per tile
         n_t_tiles = -(-num_frames // TILE_T)
@@ -957,7 +1074,8 @@ def mel_power_pallas(
         kernel = functools.partial(
             _mel_power_ctp_kernel, n_fft=n_fft, exact=exact, W2=W2,
             h128=h128, rb=rb, with_scale=rms_scale is not None,
-            interleave=interleave, fused=fused,
+            interleave=interleave, fused=fused, batch_rows=bool(batch_rows),
+            ablate=frozenset(ablate),
         )
         base_spec = lambda shape: pl.BlockSpec(  # noqa: E731
             shape, lambda b, tt: (0,) * len(shape), memory_space=pltpu.VMEM

@@ -349,3 +349,40 @@ def test_phase_kernel_fused_dots(rng, exact):
                                       fused_dots=True, exact=exact))
     err = np.abs(got - ref).max() / np.abs(ref).max()
     assert err < (1e-5 if exact else 5e-3)
+
+
+@pytest.mark.parametrize("row_block", [2, 4])
+def test_phase_kernel_batch_rows_bitwise(rng, row_block):
+    """batch_rows (r4): one inner+outer stage over all row_block rows
+    stacked along sublanes — [rb*128,128] MXU dots instead of rb separate
+    [128,128] ones. Row-independent math, so the contract is BITWISE
+    equality with the per-row loop, including under the fused RMS scale
+    (per-row scalar) and the bf16 mode. On-chip the same bitwise check
+    runs in scripts/probe_batch_rows.py (real-Mosaic compile proven for
+    rb <= 4; rb=8 exceeds VMEM — auto never picks it)."""
+    cfg = MelConfig(sr=48000, duration=1.0, n_mels=64, fmin=150, fmax=15000,
+                    hop_length=384, n_fft=2048, target_frames=96)
+    y = (0.1 * rng.standard_normal((4, cfg.num_samples))).astype(np.float32)
+    scale = np.abs(rng.standard_normal(4)).astype(np.float32)
+    scale[1] = -1.0  # silence-gate sentinel row
+    T = cfg.total_frames
+    for exact in (True, False):
+        for sc in (None, jnp.asarray(scale)):
+            ref = np.asarray(mel_power_pallas(
+                jnp.asarray(y), cfg, num_frames=T, interpret=True,
+                algorithm="ct", exact=exact, rms_scale=sc,
+                row_block=row_block, batch_rows=False))
+            got = np.asarray(mel_power_pallas(
+                jnp.asarray(y), cfg, num_frames=T, interpret=True,
+                algorithm="ct", exact=exact, rms_scale=sc,
+                row_block=row_block, batch_rows=True))
+            np.testing.assert_array_equal(got, ref)
+
+
+def test_batch_rows_rejected_off_phase_kernel():
+    cfg = MelConfig(sr=16000, duration=0.5, n_mels=32, fmin=100, fmax=7500,
+                    hop_length=160, n_fft=2048, target_frames=48)
+    y = jnp.zeros((2, cfg.num_samples), jnp.float32)
+    with pytest.raises(ValueError, match="batch_rows"):
+        mel_power_pallas(y, cfg, num_frames=cfg.total_frames, interpret=True,
+                         algorithm="ct", batch_rows=True)
