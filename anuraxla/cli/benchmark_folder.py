@@ -49,6 +49,12 @@ def build_parser() -> argparse.ArgumentParser:
 
 def run(detector: str, default_out: str, default_root_name: str = "test_chunks") -> None:
     args = build_parser().parse_args()
+    if args.add_noise_db is not None and args.snr_sweep:
+        raise SystemExit(
+            "❌ --add-noise-db and --snr-sweep are mutually exclusive: the "
+            "sweep sets the noise level per point (add the dB value to the "
+            "sweep list instead)"
+        )
     apply_device(args.device)
     project_root = project_root_here()
     cfg_path = resolve_config(args.config or "config.json", project_root)

@@ -102,11 +102,21 @@ def main() -> None:
         out_dir = Path(args.out).expanduser().resolve() if args.out else None
         if out_dir is not None:
             out_dir.mkdir(parents=True, exist_ok=True)
+
+    def fleet_key(wav: Path) -> str:
+        # rglob finds same-named recordings in different subdirs (siteA/x.wav,
+        # siteB/x.wav) — key artifacts by the root-relative path, not the bare
+        # stem, or the later file silently clobbers the earlier one's CSV
+        if args.root:
+            rel = wav.relative_to(root).with_suffix("")
+            return "__".join(rel.parts)
+        return wav.stem
+
     for wav, dets in per_file.items():
         if args.wav and args.out:
             out = Path(args.out)
         elif out_dir is not None:
-            out = out_dir / (wav.stem + ".detections.csv")
+            out = out_dir / (fleet_key(wav) + ".detections.csv")
         else:
             out = wav.with_suffix(".detections.csv")
         write_detections_csv(dets, out, score_name)
@@ -116,7 +126,10 @@ def main() -> None:
         from anuraxla.pipeline.stream import extract_detected_chunks
 
         for wav, dets in per_file.items():
-            extract_detected_chunks(wav, dets, Path(args.extract_dir), sr=session.mel.sr)
+            extract_detected_chunks(
+                wav, dets, Path(args.extract_dir), sr=session.mel.sr,
+                stem=fleet_key(wav),
+            )
 
     counts = Counter(
         d.species or "NO_DETECT" for dets in per_file.values() for d in dets

@@ -868,6 +868,16 @@ def infer_decoder_spec_from_state_dict(
                 f"'{a['name']}' out={a['out']}"
             )
 
+    tail_norm = stack[-1]["norm"]
+    if tail_norm is not None and tail_norm["kind"] == "gn":
+        # a trailing BatchNorm folds into the output conv's weights, but a
+        # GroupNorm is data-dependent — DecoderSpec has no norm slot after
+        # the output conv, so dropping it would silently change the recon
+        raise UnsupportedLayerError(
+            f"decoder output conv '{stack[-1]['name']}' is followed by a "
+            "GroupNorm — a normalized output layer is outside the decoder "
+            "ingest vocabulary (the spec grammar ends with a bare conv)"
+        )
     if any(l["kind"] == "convt" for l in stack):
         spec_stack = tuple((l["kind"], l["out"]) for l in stack)
     else:
@@ -962,6 +972,12 @@ def map_foreign_decoder_state_dict(
         raise UnsupportedLayerError(
             f"{len(stack)} stack layers in checkpoint vs {len(spec.stack)} in "
             "the spec"
+        )
+    if stack and stack[-1]["norm"] is not None and stack[-1]["norm"]["kind"] == "gn":
+        raise UnsupportedLayerError(
+            f"decoder output conv '{stack[-1]['name']}' is followed by a "
+            "GroupNorm, which the spec grammar cannot represent (it would be "
+            "silently dropped)"
         )
     params: Dict[str, Any] = {}
     for i, lin in enumerate(linears[:-1]):

@@ -281,6 +281,14 @@ class ConvVAE(nn.Module):
                     f"decoder_spec.latent_dim={self.decoder_spec.latent_dim} "
                     f"!= cfg.latent_dim={self.cfg.latent_dim}"
                 )
+            if self.decoder_spec.stack[-1][1] != 1:
+                # the recon loss compares against [B, T, M, 1] mels; a wider
+                # output conv would numpy-broadcast silently into a wrong loss
+                raise ValueError(
+                    "decoder_spec's output conv has "
+                    f"{self.decoder_spec.stack[-1][1]} channels; the recon "
+                    "target is single-channel mel"
+                )
             self.decoder = IngestedDecoder(self.decoder_spec)
         else:
             self.decoder = ConvVAEDecoder(self.cfg)

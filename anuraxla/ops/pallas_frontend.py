@@ -474,8 +474,14 @@ def _ct_outer_stage(
                 ai = a_im.astype(jnp.bfloat16)
                 x_re = x_re + d(ai, shi_ref[sl, :])
                 x_im = x_im + d(ai, chi_ref[sl, :])
-            p = x_re * x_re + x_im * x_im
-            contrib = d(p.astype(jnp.bfloat16), fbhi_ref[sl, :])
+            if "power" in ablate:
+                p = x_re + x_im  # keep x_im live (see exact branch)
+            else:
+                p = x_re * x_re + x_im * x_im
+            if "fb" in ablate:
+                contrib = p[:, : fbhi_ref.shape[1]]
+            else:
+                contrib = d(p.astype(jnp.bfloat16), fbhi_ref[sl, :])
         acc = contrib if acc is None else acc + contrib
     return acc
 
@@ -969,6 +975,19 @@ def mel_power_pallas(
         raise ValueError(
             "ablate (profiling only) is wired only into the phase kernel"
         )
+    if ablate and fused_dots:
+        raise ValueError(
+            "ablate is not wired into the fused-dots outer stage — drop "
+            "fused_dots for profiling runs"
+        )
+    if ablate and not exact:
+        bad = sorted(set(ablate) & {"splits", "dots"})
+        if bad:
+            raise ValueError(
+                f"ablate classes {bad} only exist in the exact (3-pass "
+                "bf16-split) outer stage; the bf16 kernel has no split/"
+                "multi-pass arithmetic to remove"
+            )
     if batch_rows and not use_phase:
         raise ValueError("batch_rows is wired only into the phase kernel")
     if pre_padded and not use_phase:

@@ -140,16 +140,21 @@ def iter_batches(
     num_threads: int = 16,
     prefetch: bool = True,
     layout: Optional[Tuple[int, int]] = None,
+    transform=None,
 ) -> Iterator[Tuple[LoadedBatch, int]]:
     """Yield (batch, n_valid_rows) with the last batch zero-padded to
     ``batch_size`` (static shapes keep one XLA executable). Decodes the next
     batch on a background thread while the caller computes on the current one.
-    ``layout``: see :func:`load_wav_batch`.
+    ``layout``: see :func:`load_wav_batch`. ``transform(audio, start, n_valid)
+    -> audio`` (optional) runs on the prefetch thread — host-side per-batch
+    work (e.g. robustness noise injection) overlaps device compute instead of
+    serializing between dispatches; ``start`` is the batch's global row
+    offset in ``paths``.
     """
     chunks = [list(paths[i : i + batch_size]) for i in range(0, len(paths), batch_size)]
     row_len = layout[0] if layout is not None else num_samples
 
-    def load(chunk: List[Path]) -> Tuple[LoadedBatch, int]:
+    def load(chunk: List[Path], start: int) -> Tuple[LoadedBatch, int]:
         b = load_wav_batch(chunk, sr=sr, num_samples=num_samples,
                            num_threads=num_threads, layout=layout)
         n_valid = len(chunk)
@@ -158,17 +163,20 @@ def iter_batches(
             audio = np.concatenate([b.audio, np.zeros((pad, row_len), np.float32)])
             okp = np.concatenate([b.ok, np.zeros(pad, bool)])
             b = LoadedBatch(audio, okp, b.errors + [None] * pad)
+        if transform is not None:
+            b = b._replace(audio=transform(b.audio, start, n_valid))
         return b, n_valid
 
+    starts = range(0, len(paths), batch_size)
     if not prefetch or len(chunks) <= 1:
-        for c in chunks:
-            yield load(c)
+        for c, s in zip(chunks, starts):
+            yield load(c, s)
         return
 
     with ThreadPoolExecutor(max_workers=1) as ex:
-        fut = ex.submit(load, chunks[0])
-        for nxt in chunks[1:]:
+        fut = ex.submit(load, chunks[0], 0)
+        for nxt, s in zip(chunks[1:], list(starts)[1:]):
             cur = fut.result()
-            fut = ex.submit(load, nxt)
+            fut = ex.submit(load, nxt, s)
             yield cur
         yield fut.result()

@@ -11,6 +11,7 @@ shares it.
 from __future__ import annotations
 
 import dataclasses
+import hashlib
 import random as pyrandom
 from pathlib import Path
 from typing import Dict, List, Optional, Sequence, Tuple
@@ -295,11 +296,13 @@ class EncoderSession:
             batch_size=self.batch_size,
             num_threads=self.num_threads,
             layout=self._layout,
+            # injection runs on the prefetch thread (overlapped with device
+            # compute), not here between dispatches
+            transform=self._inject_noise if self.add_noise_db is not None else None,
         ):
             ok[pos : pos + n_valid] = batch.ok[:n_valid]
             errors[pos : pos + n_valid] = batch.errors[:n_valid]
-            audio = self._inject_noise(batch.audio, pos, n_valid)
-            cur = (self._dispatch(audio), pos, n_valid)
+            cur = (self._dispatch(batch.audio), pos, n_valid)
             if pending is not None:
                 z, p0, nv = pending
                 Z[p0 : p0 + nv] = np.asarray(z)[:nv]
@@ -311,11 +314,15 @@ class EncoderSession:
         return Z, ok, errors
 
 
-def cache_path_for(cache_dir: Path, chunks_dir: Path, species: str) -> Path:
-    """``cache_npz/Z_<rootname>_<species>.npz`` (``08:467``). Our archives add
-    a mel-parameter fingerprint to detect the stale-cache hazard the
-    reference's key ignores (SURVEY.md 'quirks')."""
-    return Path(cache_dir) / f"Z_{Path(chunks_dir).name}_{species}.npz"
+def cache_path_for(
+    cache_dir: Path, chunks_dir: Path, species: str, tag: str = ""
+) -> Path:
+    """``cache_npz/Z_<rootname>_<species><tag>.npz`` (``08:467``). Our
+    archives add a mel-parameter fingerprint to detect the stale-cache hazard
+    the reference's key ignores (SURVEY.md 'quirks'). ``tag`` gives variant
+    encodes (e.g. noise-augmented fit legs) their own file so they don't
+    thrash the clean archive."""
+    return Path(cache_dir) / f"Z_{Path(chunks_dir).name}_{species}{tag}.npz"
 
 
 def mel_fingerprint(mel: MelConfig) -> str:
@@ -392,6 +399,7 @@ def encode_species_tree(
     cache_dir: Optional[Path] = None,
     max_per_class: int = 0,
     seed: int = 123,
+    cache_tag: str = "",
     log=print,
 ) -> Tuple[Dict[str, np.ndarray], Dict[str, int], Dict[str, int]]:
     """Per-species encode with optional .npz cache and subsampling — the
@@ -416,18 +424,27 @@ def encode_species_tree(
 
     for sp in species:
         wavs = tree.get(sp, [])
-        cpath = cache_path_for(cache_dir, chunks_dir, sp) if cache else None
+        # the folder's file LIST is identity too: noised latents
+        # (add_noise_db) are seeded by each file's row position, so adding/
+        # removing/renaming one wav changes every later file's noise — and
+        # even clean archives hold latents for exactly these files
+        files_key = hashlib.sha1(
+            "\n".join(p.name for p in wavs).encode()
+        ).hexdigest()[:16]
+        cpath = cache_path_for(cache_dir, chunks_dir, sp, cache_tag) if cache else None
         if cpath is not None and cpath.exists():
             data = np.load(cpath, allow_pickle=False)
             # stale when ANY of the identity fields is missing or differs:
             # the session fingerprint (mel/frontend/encoder), the RESOLVED
             # source root (same-named trees from different datasets share a
-            # file name), and the subsampling request (the archive stores the
-            # post-subsample latents, so max_per_class/seed are identity too)
+            # file name), the subsampling request (the archive stores the
+            # post-subsample latents, so max_per_class/seed are identity
+            # too), and the folder's file list
             stale = (
                 "mel_fp" not in data or str(data["mel_fp"]) != fp
                 or "root" not in data or str(data["root"]) != root_key
                 or "sub" not in data or str(data["sub"]) != sub_key
+                or "files" not in data or str(data["files"]) != files_key
             )
             if not stale:
                 Zm = data["Z"].astype(np.float32)
@@ -436,7 +453,7 @@ def encode_species_tree(
                 used[sp] = int(Zm.shape[0])
                 log(f"🧊 {sp}: cache {cpath.name} -> N={Zm.shape[0]}")
                 continue
-            log(f"♻️ {sp}: cache stale (mel/frontend/encoder/root/subsample changed), re-encoding")
+            log(f"♻️ {sp}: cache stale (mel/frontend/encoder/root/subsample/file-list changed), re-encoding")
 
         if not wavs:
             log(f"⚠️ {sp}: no wavs under {Path(chunks_dir) / sp} (skipped)")
@@ -456,7 +473,10 @@ def encode_species_tree(
         log(f"🧪 {sp}: encoded N={Zm.shape[0]} (failed={n_fail}) [{t.rate:.1f} chunks/s]")
 
         if cpath is not None:
-            np.savez_compressed(cpath, Z=Zm, failed=n_fail, root=root_key, mel_fp=fp, sub=sub_key)
+            np.savez_compressed(
+                cpath, Z=Zm, failed=n_fail, root=root_key, mel_fp=fp,
+                sub=sub_key, files=files_key,
+            )
             log(f"   ↳ cached: {cpath.name}")
 
     return Z_by, failed, used

@@ -189,6 +189,17 @@ def scan_soundscapes(
     """
     from anuraxla.config import read_map, read_radial
 
+    if getattr(session, "add_noise_db", None) is not None:
+        # the scan path dispatches windows directly (no _inject_noise leg),
+        # so a noised session would scan CLEAN while its fingerprint claims
+        # noised — refuse rather than silently mislabel. Noise robustness for
+        # soundscapes: synthesize a noisy recording (make-synth-data
+        # --soundscape --snr-db) and scan that.
+        raise ValueError(
+            "scan_soundscapes does not implement add_noise_db injection; "
+            "use a clean session (noise-robustness scans take a noisy "
+            "RECORDING, not an injected session)"
+        )
     if detector == "radial":
         species, centroids, thresholds, chunk_seconds = read_radial(config)
     elif detector == "map":
@@ -301,6 +312,7 @@ def extract_detected_chunks(
     out_root: Path,
     *,
     sr: int,
+    stem: Optional[str] = None,
     log=print,
 ) -> int:
     """Write each detected window as a per-species chunk WAV under
@@ -311,7 +323,7 @@ def extract_detected_chunks(
     from anuraxla.utils.wavio import write_wav
 
     stream = WavStream(wav_path)
-    stem = Path(wav_path).stem
+    stem = stem if stem is not None else Path(wav_path).stem
     n = 0
     for d in dets:
         if not d.detected or d.species is None:

@@ -314,3 +314,33 @@ def test_warm_started_train_step(rng, tmp_path):
     dec_after = np.asarray(state.params["params"]["decoder"]["Layer_0"]["kernel"])
     assert not np.array_equal(enc_before, enc_after), "encoder never moved"
     assert not np.array_equal(dec_before, dec_after), "decoder never moved"
+
+
+def test_trailing_groupnorm_decoder_rejected():
+    """A GroupNorm AFTER the output conv has no DecoderSpec slot — it must
+    raise a named error, not silently drop the norm's parameters."""
+    torch.manual_seed(7)
+    sd = dict(UpsampleDecoder().state_dict())
+    sd["gout.weight"] = torch.ones(1)
+    sd["gout.bias"] = torch.zeros(1)
+    with pytest.raises(UnsupportedLayerError, match="GroupNorm"):
+        infer_decoder_spec_from_state_dict(sd, n_mels=M)
+
+
+def test_convvae_rejects_multichannel_decoder_spec(rng):
+    """The recon loss compares against [B, T, M, 1]; a decoder spec whose
+    output conv is wider would broadcast silently — setup must refuse."""
+    import jax
+
+    from anuraxla.models.vae import ConvVAE, DecoderSpec, VAEConfig
+
+    spec = DecoderSpec(
+        latent_dim=LATENT, dense_widths=(10 * 5 * 4,), bottleneck_hw=(5, 4),
+        bottleneck_c=10, stack=(("upconv", 8), ("conv", 2)), norm="group",
+        groups=2, gn_eps=1e-5,
+    )
+    cfg = VAEConfig(latent_dim=LATENT, widths=(4, 8), dense_width=12,
+                    groups=2, input_hw=spec.out_hw)
+    x = jnp.asarray(rng.standard_normal((1, *spec.out_hw, 1)).astype(np.float32))
+    with pytest.raises(ValueError, match="single-channel"):
+        ConvVAE(cfg, decoder_spec=spec).init(jax.random.PRNGKey(0), x)

@@ -386,3 +386,21 @@ def test_batch_rows_rejected_off_phase_kernel():
     with pytest.raises(ValueError, match="batch_rows"):
         mel_power_pallas(y, cfg, num_frames=cfg.total_frames, interpret=True,
                          algorithm="ct", batch_rows=True)
+
+
+def test_ablate_validation(rng):
+    """ablate classes must be rejected when they are not wired into the
+    selected mode — a silent no-op would fake profiling evidence."""
+    y = (0.1 * rng.standard_normal((1, CFG.num_samples))).astype(np.float32)
+    T = CFG.total_frames
+    with pytest.raises(ValueError, match="exact"):
+        mel_power_pallas(jnp.asarray(y), CFG, num_frames=T, interpret=True,
+                         algorithm="ct", exact=False, ablate=("splits",))
+    with pytest.raises(ValueError, match="fused-dots"):
+        mel_power_pallas(jnp.asarray(y), CFG, num_frames=T, interpret=True,
+                         algorithm="ct", assembly="phase", fused_dots=True,
+                         ablate=("power",))
+    # 'power'/'fb' ARE wired into the bf16 outer stage: runs, right shape
+    out = mel_power_pallas(jnp.asarray(y), CFG, num_frames=T, interpret=True,
+                           algorithm="ct", exact=False, ablate=("power",))
+    assert out.shape == (1, T, CFG.n_mels)

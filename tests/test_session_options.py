@@ -307,3 +307,30 @@ def test_pre_padded_host_survives_reconfigure(tmp_path, rng):
     s_plain = EncoderSession(mel=s.mel, encoder_dir=enc_dir, batch_size=2,
                              project_root=tmp_path, backend="pallas").load()
     np.testing.assert_array_equal(z, s_plain.encode_array(batch))
+
+
+def test_cache_stale_on_file_list_change(tmp_path, rng):
+    """The archive holds latents for exactly the files that were present —
+    adding/renaming a wav must invalidate it (noised latents are seeded by
+    row position, so a shifted list silently changes them otherwise)."""
+    from anuraxla.pipeline.session import encode_species_tree
+
+    sp = "SpA"
+    d = tmp_path / "train_chunks" / sp
+    d.mkdir(parents=True)
+    for i in range(3):
+        write_wav(d / f"{i}.wav",
+                  (0.2 * rng.standard_normal(MEL.num_samples)).astype(np.float32), MEL.sr)
+
+    s = make_session(tmp_path)
+    cache = tmp_path / "cache"
+    logs: list = []
+    log = lambda *a: logs.append(" ".join(str(x) for x in a))  # noqa: E731
+
+    encode_species_tree(s, tmp_path / "train_chunks", [sp],
+                        cache=True, cache_dir=cache, log=log)
+    (d / "0.wav").rename(d / "9.wav")
+    logs.clear()
+    encode_species_tree(s, tmp_path / "train_chunks", [sp],
+                        cache=True, cache_dir=cache, log=log)
+    assert any("stale" in m for m in logs), logs
