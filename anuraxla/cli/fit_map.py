@@ -46,6 +46,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--shrink", type=float, default=None)
     p.add_argument("--set-tau-q", type=float, default=None,
                    help="e.g. 0.01 => tau = quantile(train true-class scores, 0.01)")
+    p.add_argument("--augment-noise-db", type=str, default=None,
+                   help="comma list of SNRs (dB): also fit on noise-injected "
+                   "training latents (docs/ROBUSTNESS.md)")
+    p.add_argument("--noise-seed", type=int, default=0,
+                   help="seed for --augment-noise-db injection")
     p.add_argument(
         "--preset", type=str, default=None, choices=["small-n"],
         help="small-n: diag covariance + shrink 0.1 — the regularization the "
@@ -114,8 +119,11 @@ def main() -> None:
         mel=mel_from_args(args, chunk_seconds),
         encoder_dir=Path(args.encoder) if args.encoder else None,
         project_root=project_root,
+        noise_seed=args.noise_seed,
         **session_kwargs(args),
     ).load()
+
+    from anuraxla.cli.fit_radial import parse_augment
 
     cache_dir = Path(args.cache_dir) if args.cache_dir else (project_root / CACHE_DIR_NAME)
     fit_map_tree(
@@ -124,6 +132,7 @@ def main() -> None:
         eps=args.eps, shrink=shrink, tau_q=args.set_tau_q,
         cache=args.cache, cache_dir=cache_dir,
         max_per_class=args.max_per_class, seed=args.seed,
+        augment_noise_db=parse_augment(args.augment_noise_db),
     )
 
 

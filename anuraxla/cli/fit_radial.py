@@ -42,7 +42,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=123)
     p.add_argument("--cache", action="store_true")
     p.add_argument("--cache-dir", type=str, default=None)
+    p.add_argument("--augment-noise-db", type=str, default=None,
+                   help="comma list of SNRs (dB): also fit on noise-injected "
+                   "copies of the training latents so rk absorbs the noise "
+                   "shift (docs/ROBUSTNESS.md; use when the margin sweep "
+                   "can't reach the target SNR by rethresholding)")
+    p.add_argument("--noise-seed", type=int, default=0,
+                   help="seed for --augment-noise-db injection")
     return p
+
+
+def parse_augment(arg) -> list:
+    return [float(s) for s in arg.split(",") if s.strip()] if arg else []
 
 
 def main() -> None:
@@ -68,6 +79,7 @@ def main() -> None:
         mel=mel_from_args(args, chunk_seconds),
         encoder_dir=Path(args.encoder) if args.encoder else None,
         project_root=project_root,
+        noise_seed=args.noise_seed,
         **session_kwargs(args),
     ).load()
 
@@ -77,6 +89,7 @@ def main() -> None:
         q_in=args.q_in, q_out=args.q_out,
         cache=args.cache, cache_dir=cache_dir,
         max_per_class=args.max_per_class, seed=args.seed,
+        augment_noise_db=parse_augment(args.augment_noise_db),
     )
 
 

@@ -98,9 +98,11 @@ def write_radial(
     max_per_class: int,
     seed: int,
     per_species_meta: Dict[str, Dict[str, Any]],
+    augment_noise_db=None,
 ) -> Path:
     """Write the radial_detector block (schema of ``08:561-583``) with a .bak
-    backup, preserving all unrelated config keys."""
+    backup, preserving all unrelated config keys. ``augment_noise_db`` (ours,
+    additive to the reference schema) records a noise-augmented fit."""
     rd = cfg.setdefault("radial_detector", {})
     if not isinstance(rd, dict):
         rd = cfg["radial_detector"] = {}
@@ -122,6 +124,11 @@ def write_radial(
         "max_per_class": int(max_per_class),
         "seed": int(seed),
         "per_species": per_species_meta,
+        **(
+            {"augment_noise_db": [float(d) for d in augment_noise_db]}
+            if augment_noise_db
+            else {}
+        ),
     }
     return save_json_with_backup(cfg_path, cfg)
 
@@ -232,6 +239,7 @@ def write_map(
     tau_q: Optional[float],
     score_true_global_summary: Dict[str, float],
     per_species_meta: Dict[str, Dict[str, Any]],
+    augment_noise_db=None,
 ) -> Path:
     cfg["map_detector"] = {
         "model": "gaussian_map",
@@ -261,6 +269,11 @@ def write_map(
             "tau_from_train_quantile": (float(tau_q) if tau_q is not None else None),
             "score_true_global_summary": score_true_global_summary,
             "per_species": per_species_meta,
+            **(
+                {"augment_noise_db": [float(d) for d in augment_noise_db]}
+                if augment_noise_db
+                else {}
+            ),
         },
     }
     return save_json_with_backup(cfg_path, cfg)

@@ -48,6 +48,54 @@ def _fit_map_dispatch(session, Z, mask, **kw):
     return fit_map(jnp.asarray(Z), jnp.asarray(mask), **kw)
 
 
+def encode_augmented_tree(
+    session: EncoderSession,
+    chunks_dir: Path,
+    species_all,
+    *,
+    augment_noise_db,
+    cache: bool,
+    cache_dir: Optional[Path],
+    max_per_class: int,
+    seed: int,
+    log=print,
+):
+    """Clean encode plus one noised encode per SNR in ``augment_noise_db``,
+    concatenated per species — the fit then sees each training chunk once
+    clean and once per noise level, so thresholds/covariances absorb the
+    latent shift noise causes instead of rejecting it (the engineered answer
+    to the r4 finding that RETHRESHOLDING alone cannot rescue the radial
+    detector at 14 dB: noised latents sit outside any rk the clean-accuracy
+    constraint allows). Each noised leg replays the clean leg's subsampling
+    (fresh rng, same seed) so clean/noised pools cover the SAME files, and
+    caches under its own ``_nz<db>`` suffix."""
+    Z_by, failed, used = encode_species_tree(
+        session, chunks_dir, species_all,
+        cache=cache, cache_dir=cache_dir, max_per_class=max_per_class,
+        seed=seed, log=log,
+    )
+    for db in augment_noise_db or ():
+        session.add_noise_db = float(db)
+        session._fingerprint = None  # the cache key embeds the noise config
+        try:
+            log(f"🌫️ augment: re-encoding at {db:g} dB SNR")
+            Zn, f2, u2 = encode_species_tree(
+                session, chunks_dir, species_all,
+                cache=cache, cache_dir=cache_dir, max_per_class=max_per_class,
+                seed=seed, cache_tag=f"_nz{db:g}", log=log,
+            )
+        finally:
+            session.add_noise_db = None
+            session._fingerprint = None
+        for sp, Zn_sp in Zn.items():
+            Z_by[sp] = (
+                np.concatenate([Z_by[sp], Zn_sp]) if sp in Z_by else Zn_sp
+            )
+            failed[sp] = failed.get(sp, 0) + f2.get(sp, 0)
+            used[sp] = used.get(sp, 0) + u2.get(sp, 0)
+    return Z_by, failed, used
+
+
 def fit_radial_tree(
     *,
     cfg_path: Path,
@@ -60,13 +108,15 @@ def fit_radial_tree(
     cache_dir: Optional[Path],
     max_per_class: int,
     seed: int,
+    augment_noise_db=None,
     log=print,
 ) -> Dict[str, Any]:
     """Full 08-equivalent: encode -> fit -> write config. Returns the fitted
-    per-species numbers (also printed in the 9105-parseable ✅ format)."""
+    per-species numbers (also printed in the 9105-parseable ✅ format).
+    ``augment_noise_db``: see :func:`encode_augmented_tree`."""
     species_all = cfgmod.require_species(cfg)
-    Z_by, failed, used = encode_species_tree(
-        session, chunks_dir, species_all,
+    Z_by, failed, used = encode_augmented_tree(
+        session, chunks_dir, species_all, augment_noise_db=augment_noise_db,
         cache=cache, cache_dir=cache_dir, max_per_class=max_per_class, seed=seed, log=log,
     )
     if not Z_by:
@@ -126,6 +176,7 @@ def fit_radial_tree(
         cfg_path, cfg, species, np.asarray(fit.centroids), rk,
         chunks_dir=chunks_dir, mel=session.mel, q_in=q_in, q_out=q_out,
         max_per_class=max_per_class, seed=seed, per_species_meta=meta,
+        augment_noise_db=augment_noise_db,
     )
     log(f"\n💾 saved: {cfg_path}")
     log(f"🗂️ backup: {backup}")
@@ -149,12 +200,14 @@ def fit_map_tree(
     cache_dir: Optional[Path],
     max_per_class: int,
     seed: int,
+    augment_noise_db=None,
     log=print,
 ) -> Dict[str, Any]:
-    """Full 08b-equivalent: encode -> MAP fit -> write config."""
+    """Full 08b-equivalent: encode -> MAP fit -> write config.
+    ``augment_noise_db``: see :func:`encode_augmented_tree`."""
     species_all = cfgmod.require_species(cfg)
-    Z_by, failed, used = encode_species_tree(
-        session, chunks_dir, species_all,
+    Z_by, failed, used = encode_augmented_tree(
+        session, chunks_dir, species_all, augment_noise_db=augment_noise_db,
         cache=cache, cache_dir=cache_dir, max_per_class=max_per_class, seed=seed, log=log,
     )
     if not Z_by:
@@ -219,6 +272,7 @@ def fit_map_tree(
         chunks_dir=chunks_dir, mel=session.mel, max_per_class=max_per_class, seed=seed,
         eps=eps, shrink=shrink, tau_q=tau_q,
         score_true_global_summary=global_summary, per_species_meta=per_meta,
+        augment_noise_db=augment_noise_db,
     )
     log(f"\n💾 saved: {cfg_path}")
     log(f"🗂️ backup: {backup}")

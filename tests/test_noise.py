@@ -148,3 +148,64 @@ def test_benchmark_cli_noise_flags_parse():
     assert a.add_noise_db == 14.0 and a.noise_seed == 3
     a = build_parser().parse_args(["--root", "r", "--snr-sweep", "clean,20,14,8"])
     assert a.snr_sweep == "clean,20,14,8"
+
+
+def test_benchmark_cli_rejects_noise_plus_sweep(monkeypatch):
+    """--add-noise-db composed with --snr-sweep would be silently clobbered
+    by the sweep's per-point noise level — refuse instead."""
+    import sys
+
+    from anuraxla.cli.benchmark_folder import run
+
+    monkeypatch.setattr(sys, "argv", [
+        "prog", "--root", "r", "--add-noise-db", "8", "--snr-sweep", "clean,20",
+    ])
+    with pytest.raises(SystemExit, match="mutually exclusive"):
+        run("radial", "outputs/x")
+
+
+def test_scan_rejects_noised_session(project):
+    """scan_soundscapes has no noise-injection leg — a session built with
+    add_noise_db would scan CLEAN while its fingerprint claims noised."""
+    from anuraxla.pipeline.stream import scan_soundscapes
+
+    s = _session(project, add_noise_db=14.0)
+    with pytest.raises(ValueError, match="add_noise_db"):
+        scan_soundscapes([Path("x.wav")], s, detector="radial", config={},
+                         log=lambda *a: None)
+
+
+def test_augmented_radial_fit_widens_rk(project, tmp_path):
+    """fit with --augment-noise-db: the in-class pool gains noised copies of
+    the same files, so rk_in grows to absorb the noise-induced latent shift
+    (the engineered fix for SNRs the margin sweep can't reach by
+    rethresholding); provenance lands in meta_fit and the session's noise
+    state is restored afterwards."""
+    import json
+
+    from anuraxla.pipeline.fit import fit_radial_tree
+
+    cfgp = tmp_path / "config.json"
+    cfgp.write_text((project / "config.json").read_text())
+    chunks = project / "latent_space_exploration" / "train_chunks"
+    s = _session(project)
+    quiet = lambda *a: None  # noqa: E731
+
+    clean = fit_radial_tree(
+        cfg_path=cfgp, cfg=json.loads(cfgp.read_text()), chunks_dir=chunks,
+        session=s, q_in=0.9, q_out=0.5, cache=False, cache_dir=None,
+        max_per_class=0, seed=1, log=quiet,
+    )
+    aug = fit_radial_tree(
+        cfg_path=cfgp, cfg=json.loads(cfgp.read_text()), chunks_dir=chunks,
+        session=s, q_in=0.9, q_out=0.5, cache=False, cache_dir=None,
+        max_per_class=0, seed=1, augment_noise_db=[6.0], log=quiet,
+    )
+    assert s.add_noise_db is None
+    rk_c, rk_a = np.asarray(clean["rk_in"]), np.asarray(aug["rk_in"])
+    assert (rk_a >= rk_c - 1e-7).all() and (rk_a > rk_c).any(), (rk_c, rk_a)
+    # each species' pool doubled (every file encoded clean + at 6 dB)
+    for sp, m in aug["meta"].items():
+        assert m["N_in"] == 2 * clean["meta"][sp]["N_in"]
+    saved = json.loads(cfgp.read_text())
+    assert saved["radial_detector"]["meta_fit"]["augment_noise_db"] == [6.0]
