@@ -152,8 +152,10 @@ def _ct_tables_folded(sr: int, n_fft: int, n_mels: int, fmin: float, fmax: float
     - win [1, n_fft]: periodic Hann (applied to frames; CT bases can't fold
       a per-sample window the way the dense bases do).
 
-    All tables are returned as host-pre-split (hi, lo) bf16 pairs for the
-    3-pass exact matmuls (hi alone serves the bf16 mode), plus the f32 window.
+    C/S are returned as host-pre-split (hi, lo) bf16 pairs for the 3-pass
+    exact matmuls (hi alone serves the bf16 mode); FBM as ONE lane-packed
+    [·, 2·n_mels] hi|lo table (lanes [:n_mels] = hi serve the bf16 mode);
+    plus the f32 window.
     """
     from anuraxla.ops.stft import hann_window
 
@@ -180,10 +182,13 @@ def _ct_tables_folded(sr: int, n_fft: int, n_mels: int, fmin: float, fmax: float
                 if kp < n_freq:
                     FBM[r * 128 + qq] += fb[kp]
     win = hann_window(n_fft).reshape(1, n_fft)
+    fb_hi, fb_lo = _split_bf16_np(FBM)
     return (
         _split_bf16_np(C),
         _split_bf16_np(S),
-        _split_bf16_np(FBM),
+        # hi | lo packed along lanes: 2*n_mels <= 128 keeps the exact fb's
+        # hi passes inside ONE full MXU tile (see _ct_outer_stage)
+        np.concatenate([fb_hi, fb_lo], axis=1),
         win,
     )
 
@@ -212,9 +217,10 @@ def _ct_tables_folded_cat(
 
     R = n_fft // 128
     n_half = R // 2 + 1
-    (chi, clo), (shi, slo), (fbhi, fblo), win = _ct_tables_folded(
+    (chi, clo), (shi, slo), fbpair, win = _ct_tables_folded(
         sr, n_fft, n_mels, fmin, fmax
     )
+    fbhi, fblo = fbpair[:, :n_mels], fbpair[:, n_mels:]
     bf16 = ml_dtypes.bfloat16
 
     def blocks(r, tab_hi, tab_lo):
@@ -394,7 +400,7 @@ def _split_bf16(x):
 
 
 def _ct_outer_stage(
-    inner, chi_ref, clo_ref, shi_ref, slo_ref, fbhi_ref, fblo_ref,
+    inner, chi_ref, clo_ref, shi_ref, slo_ref, fbpair_ref,
     *, exact: bool, n_half: int, interleave: bool = True,
     ablate: frozenset = frozenset(),
 ):
@@ -408,7 +414,16 @@ def _ct_outer_stage(
     for A/B measurement. ``ablate`` (PROFILING ONLY — wrong output) drops
     one op class while keeping the rest: 'splits' (lo = hi, no split
     subtract/convert), 'dots' (1 MXU pass per logical matmul instead of 3),
-    'power' (skip the squares), 'fb' (skip the filterbank accumulation)."""
+    'power' (skip the squares), 'fb' (skip the filterbank accumulation).
+
+    ``fbpair_ref`` is the merged filterbank's (hi | lo) halves packed along
+    LANES ([·, 2·n_mels]): the C/S passes are full 128-lane tiles, but a
+    bare [128, n_mels=64] filterbank RHS pads to a full tile and wastes
+    half the MXU array per pass. One full-width dot against hi|lo computes
+    the p_hi·fb_hi and p_hi·fb_lo terms together — the exact fb goes from
+    3 half-width (= 3 padded-tile) passes to 1 full + 1 half, bitwise
+    identical (each output column is an independent f32 accumulation, and
+    the final adds keep dot3h's left-assoc order)."""
     d = lambda x, y: jnp.dot(x, y, preferred_element_type=jnp.float32)  # noqa: E731
 
     if "splits" in ablate:
@@ -440,6 +455,7 @@ def _ct_outer_stage(
         staged = [inner(r) for r in range(n_half)]
         inner = lambda r: staged[r]  # noqa: E731
 
+    n_mels = fbpair_ref.shape[1] // 2
     acc = None
     for r in range(n_half):
         a_re, a_im = inner(r)  # a_re is never None for real input
@@ -463,9 +479,17 @@ def _ct_outer_stage(
             else:
                 p = x_re * x_re + x_im * x_im  # [T,128] power at k = q*R + r
             if "fb" in ablate:
-                contrib = p[:, : fbhi_ref.shape[1]]
+                contrib = p[:, :n_mels]
+            elif "dots" in ablate:
+                contrib = d(split(p)[0], fbpair_ref[sl, :n_mels])
             else:
-                contrib = dot3h(split(p), fbhi_ref[sl, :], fblo_ref[sl, :])
+                p_hi, p_lo = split(p)
+                # one full-width pass covers both p_hi terms; the adds keep
+                # dot3h's ((hi·hi + hi·lo) + lo·hi) order -> bitwise equal
+                full = d(p_hi, fbpair_ref[sl, :])
+                contrib = (full[:, :n_mels] + full[:, n_mels:]) + d(
+                    p_lo, fbpair_ref[sl, :n_mels]
+                )
         else:
             ar = a_re.astype(jnp.bfloat16)
             x_re = d(ar, chi_ref[sl, :])
@@ -479,9 +503,9 @@ def _ct_outer_stage(
             else:
                 p = x_re * x_re + x_im * x_im
             if "fb" in ablate:
-                contrib = p[:, : fbhi_ref.shape[1]]
+                contrib = p[:, :n_mels]
             else:
-                contrib = d(p.astype(jnp.bfloat16), fbhi_ref[sl, :])
+                contrib = d(p.astype(jnp.bfloat16), fbpair_ref[sl, :n_mels])
         acc = contrib if acc is None else acc + contrib
     return acc
 
@@ -601,10 +625,10 @@ def _mel_power_ctp_kernel(
         K1 = 3 * 128 if exact else 128
         n_half_f = fbcat_ref.shape[0] // K1
     else:
-        win_ref, chi_ref, clo_ref, shi_ref, slo_ref, fbhi_ref, fblo_ref = refs[
-            base : base + 7
+        win_ref, chi_ref, clo_ref, shi_ref, slo_ref, fbpair_ref = refs[
+            base : base + 6
         ]
-        out_ref = refs[base + 7]
+        out_ref = refs[base + 6]
         n_half = chi_ref.shape[0] // 128
     R = n_fft // 128
     qmax = (R - 1) // h128
@@ -654,7 +678,7 @@ def _mel_power_ctp_kernel(
             )
         else:
             acc = _ct_outer_stage(
-                inner, chi_ref, clo_ref, shi_ref, slo_ref, fbhi_ref, fblo_ref,
+                inner, chi_ref, clo_ref, shi_ref, slo_ref, fbpair_ref,
                 exact=exact, n_half=n_half, interleave=interleave,
                 ablate=ablate,
             )
@@ -705,7 +729,7 @@ def _mel_power_ctp_kernel(
             )
         else:
             acc = _ct_outer_stage(
-                inner, chi_ref, clo_ref, shi_ref, slo_ref, fbhi_ref, fblo_ref,
+                inner, chi_ref, clo_ref, shi_ref, slo_ref, fbpair_ref,
                 exact=exact, n_half=n_half, interleave=interleave,
                 ablate=ablate,
             )
@@ -769,8 +793,8 @@ def _mel_power_ct_kernel(
         K1 = 3 * 128 if exact else 128  # LHS width per real component
         n_half = fbcat_ref.shape[0] // K1
     else:
-        win_ref, chi_ref, clo_ref, shi_ref, slo_ref, fbhi_ref, fblo_ref = refs[base : base + 7]
-        out_ref, frames = refs[base + 7], refs[base + 8]
+        win_ref, chi_ref, clo_ref, shi_ref, slo_ref, fbpair_ref = refs[base : base + 6]
+        out_ref, frames = refs[base + 6], refs[base + 7]
         n_half = chi_ref.shape[0] // 128
     R = n_fft // 128
     # each row ref is [rb, 1, 1, 8, S2] (stride = 8*S2; 5-D so the block's
@@ -827,7 +851,7 @@ def _mel_power_ct_kernel(
         return
 
     acc = _ct_outer_stage(
-        inner, chi_ref, clo_ref, shi_ref, slo_ref, fbhi_ref, fblo_ref,
+        inner, chi_ref, clo_ref, shi_ref, slo_ref, fbpair_ref,
         exact=exact, n_half=n_half, interleave=interleave,
     )
     if rb == 1:
@@ -1079,13 +1103,12 @@ def mel_power_pallas(
                 jnp.asarray(rhs_cplx), jnp.asarray(fbcat),
             ]
         else:
-            (chi, clo), (shi, slo), (fbhi, fblo), win = _ct_tables_folded(
+            (chi, clo), (shi, slo), fbpair, win = _ct_tables_folded(
                 cfg.sr, n_fft, cfg.n_mels, cfg.fmin, cfg.fmax
             )
             table_args = [
                 jnp.asarray(win), jnp.asarray(chi), jnp.asarray(clo),
-                jnp.asarray(shi), jnp.asarray(slo), jnp.asarray(fbhi),
-                jnp.asarray(fblo),
+                jnp.asarray(shi), jnp.asarray(slo), jnp.asarray(fbpair),
             ]
         n_half = R // 2 + 1
         assert W2 <= 2, f"phase kernel assumes qmax < TILE_T, got qmax={qmax}"
@@ -1246,13 +1269,12 @@ def mel_power_pallas(
                 jnp.asarray(fbcat),
             ]
         else:
-            (chi, clo), (shi, slo), (fbhi, fblo), win = _ct_tables_folded(
+            (chi, clo), (shi, slo), fbpair, win = _ct_tables_folded(
                 cfg.sr, n_fft, cfg.n_mels, cfg.fmin, cfg.fmax
             )
             table_args = [
                 jnp.asarray(win), jnp.asarray(chi), jnp.asarray(clo),
-                jnp.asarray(shi), jnp.asarray(slo), jnp.asarray(fbhi),
-                jnp.asarray(fblo),
+                jnp.asarray(shi), jnp.asarray(slo), jnp.asarray(fbpair),
             ]
         kernel = functools.partial(
             _mel_power_ct_kernel, hop=hop, n_fft=n_fft, exact=exact, W=W,
