@@ -49,6 +49,23 @@ def add_batch_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--batch-size", type=int, default=64, help="device batch size")
     p.add_argument("--io-threads", type=int, default=16, help="host decode threads")
     p.add_argument(
+        "--serving-tier", type=str, default="custom",
+        choices=["custom", "parity", "balanced", "fast"],
+        help="named operating point bundling the frontend/encoder knobs "
+        "(individual flags below override a tier's choice when set away "
+        "from their defaults). "
+        "'parity' = exact-f32 mel (Pallas CT kernel on TPU; identical "
+        "librosa-parity math) + f32 encoder — torch-checkpoint bit-parity "
+        "serving, bench.py's value_f32_encoder leg. "
+        "'balanced' = exact-f32 mel + bf16-trunk encoder — the headline "
+        "benchmark config (~1e-2 latent drift, decisions preserved). "
+        "'fast' = crop-first frontend + bf16 mel dots + bf16 encoder — "
+        "~1.5x 'balanced' (bench value_fast_tier; ~61k chunks/s/chip), "
+        "latent drift <=6.5e-2, decision-equivalent on the on-chip goldens "
+        "and SNR-sweep-characterized in docs/ROBUSTNESS.md. "
+        "'custom' (default) = exactly the individual flags",
+    )
+    p.add_argument(
         "--fast-frontend", action="store_true",
         help="crop-first mel frontend (~3.3x fewer STFT FLOPs for 5s clips); "
         "statistically equivalent for detection, not bit-identical to librosa",
@@ -94,16 +111,48 @@ def add_batch_args(p: argparse.ArgumentParser) -> None:
     )
 
 
+# knob bundles behind --serving-tier; an individual flag set away from its
+# argparse default always wins over the tier's choice
+SERVING_TIERS = {
+    "parity": {"fast_frontend": False, "frontend_backend": "pallas",
+               "encoder_dtype": "float32"},
+    "balanced": {"fast_frontend": False, "frontend_backend": "pallas",
+                 "encoder_dtype": "bfloat16"},
+    "fast": {"fast_frontend": True, "frontend_backend": "pallas-bf16",
+             "encoder_dtype": "bfloat16"},
+}
+_TIER_FLAG_DEFAULTS = {
+    "fast_frontend": False, "frontend_backend": "matmul",
+    "encoder_dtype": "float32",
+}
+
+
+def resolve_tier_knobs(args) -> dict:
+    """(fast_frontend, frontend_backend, encoder_dtype) after applying
+    --serving-tier. Flags the user moved off their defaults override the
+    tier (a tier is a bundle of defaults, not a lock)."""
+    knobs = {
+        k: getattr(args, k, d) for k, d in _TIER_FLAG_DEFAULTS.items()
+    }
+    tier = getattr(args, "serving_tier", "custom")
+    if tier != "custom":
+        for k, v in SERVING_TIERS[tier].items():
+            if knobs[k] == _TIER_FLAG_DEFAULTS[k]:  # not explicitly overridden
+                knobs[k] = v
+    return knobs
+
+
 def session_kwargs(args) -> dict:
+    knobs = resolve_tier_knobs(args)
     return {
         "batch_size": args.batch_size,
         "num_threads": args.io_threads,
-        "parity": not getattr(args, "fast_frontend", False),
-        "backend": getattr(args, "frontend_backend", "matmul"),
+        "parity": not knobs["fast_frontend"],
+        "backend": knobs["frontend_backend"],
         "transfer_int16": getattr(args, "transfer_int16", False),
         "data_parallel": getattr(args, "data_parallel", False),
         "quantize": getattr(args, "quantize_serving", False),
-        "encoder_dtype": getattr(args, "encoder_dtype", "float32"),
+        "encoder_dtype": knobs["encoder_dtype"],
         "pre_padded_host": getattr(args, "pre_padded_host", False),
     }
 

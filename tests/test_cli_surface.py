@@ -100,3 +100,52 @@ def test_subprocess_compat_forwards_all_result_changing_flags():
     for flag in ("--fast-frontend", "--transfer-int16", "--quantize-serving",
                  "--data-parallel"):
         assert flag not in shared_off, flag
+
+
+def test_serving_tier_resolution():
+    """--serving-tier bundles (VERDICT r4 item 3): each named tier maps to
+    the documented knob set; explicit flags override the tier; 'custom'
+    leaves individual flags untouched."""
+    import argparse
+
+    from anuraxla.cli.common import add_batch_args, resolve_tier_knobs, session_kwargs
+
+    def parse(argv):
+        p = argparse.ArgumentParser()
+        add_batch_args(p)
+        return p.parse_args(argv)
+
+    # the three named tiers == the three bench.py legs
+    k = resolve_tier_knobs(parse(["--serving-tier", "parity"]))
+    assert k == {"fast_frontend": False, "frontend_backend": "pallas",
+                 "encoder_dtype": "float32"}
+    k = resolve_tier_knobs(parse(["--serving-tier", "balanced"]))
+    assert k == {"fast_frontend": False, "frontend_backend": "pallas",
+                 "encoder_dtype": "bfloat16"}
+    k = resolve_tier_knobs(parse(["--serving-tier", "fast"]))
+    assert k == {"fast_frontend": True, "frontend_backend": "pallas-bf16",
+                 "encoder_dtype": "bfloat16"}
+
+    # custom (default): flags pass through unchanged
+    k = resolve_tier_knobs(parse([]))
+    assert k == {"fast_frontend": False, "frontend_backend": "matmul",
+                 "encoder_dtype": "float32"}
+
+    # explicit flag beats the tier
+    k = resolve_tier_knobs(parse(["--serving-tier", "fast",
+                                  "--frontend-backend", "pallas"]))
+    assert k["frontend_backend"] == "pallas" and k["fast_frontend"] is True
+
+    # session_kwargs consumes the resolved knobs
+    sk = session_kwargs(parse(["--serving-tier", "fast"]))
+    assert sk["parity"] is False and sk["backend"] == "pallas-bf16"
+    assert sk["encoder_dtype"] == "bfloat16"
+    sk = session_kwargs(parse(["--serving-tier", "balanced"]))
+    assert sk["parity"] is True and sk["backend"] == "pallas"
+
+    # and run-qout-grid forwards the tier to subprocess-compat children
+    from anuraxla.cli.run_qout_grid import build_parser, subprocess_shared_args
+
+    args = build_parser().parse_args(["--serving-tier", "fast"])
+    shared = subprocess_shared_args(args, "cfg.json")
+    assert shared[shared.index("--serving-tier") + 1] == "fast"
