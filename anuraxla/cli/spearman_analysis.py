@@ -39,9 +39,24 @@ def parse_summary(path: Path) -> Tuple[float, float, Dict[str, float], Dict[str,
     return acc_g, nd_g, acc_sp, nd_sp
 
 
-def spearman_safe(x: List[float], y: List[float]) -> Tuple[float, float]:
+def spearman_safe(x: List[float], y: List[float]) -> Tuple[float, float, str]:
+    """Spearman rho with explicit degenerate-case handling.
+
+    Returns (rho, p, note). A constant series has no rank ordering, so the
+    correlation is UNDEFINED — detect it up front and return an explicit
+    (nan, nan, reason) instead of letting scipy raise ConstantInputWarning
+    and hand back a silent NaN (VERDICT r4 item 7; the reference's 9100
+    script :120-130 has the same silent-NaN behavior — ours names the why).
+    """
     if len(x) < 3 or len(y) < 3:
-        return float("nan"), float("nan")
+        return float("nan"), float("nan"), f"insufficient points (n={len(x)})"
+    const = [name for name, v in (("x", x), ("y", y)) if min(v) == max(v)]
+    if const:
+        return (
+            float("nan"),
+            float("nan"),
+            f"undefined: constant input ({' and '.join(const)})",
+        )
     try:
         from scipy.stats import spearmanr
 
@@ -49,9 +64,10 @@ def spearman_safe(x: List[float], y: List[float]) -> Tuple[float, float]:
         return (
             float(rho) if rho is not None else float("nan"),
             float(p) if p is not None else float("nan"),
+            "",
         )
-    except Exception:
-        return float("nan"), float("nan")
+    except Exception as e:
+        return float("nan"), float("nan"), f"scipy error: {type(e).__name__}"
 
 
 def analyze_grid(grid_dir: Path, log=print) -> List[dict]:
@@ -78,17 +94,21 @@ def analyze_grid(grid_dir: Path, log=print) -> List[dict]:
     records.sort(key=lambda r: r["q_out"])
 
     qouts = [r["q_out"] for r in records]
-    rho_nd, p_nd = spearman_safe(qouts, [r["nd_g"] for r in records])
-    rho_acc, p_acc = spearman_safe(qouts, [r["acc_g"] for r in records])
+    rho_nd, p_nd, note_nd = spearman_safe(qouts, [r["nd_g"] for r in records])
+    rho_acc, p_acc, note_acc = spearman_safe(qouts, [r["acc_g"] for r in records])
+
+    def _fmt(rho: float, p: float, note: str) -> str:
+        return f"n/a ({note})" if note else f"{rho: .3f} (p={p: .4f})"
+
     log("\n📊 SPEARMAN CORRELATIONS")
-    log(f"GLOBAL corr(q_out, NO_DETECT) = {rho_nd: .3f} (p={p_nd: .4f})")
-    log(f"GLOBAL corr(q_out, ACC)       = {rho_acc: .3f} (p={p_acc: .4f})")
+    log(f"GLOBAL corr(q_out, NO_DETECT) = {_fmt(rho_nd, p_nd, note_nd)}")
+    log(f"GLOBAL corr(q_out, ACC)       = {_fmt(rho_acc, p_acc, note_acc)}")
 
     rows = [
         {"scope": "GLOBAL", "species": "", "x": "q_out", "y": "NO_DETECT_global",
-         "rho": rho_nd, "p": p_nd, "n_points": len(qouts)},
+         "rho": rho_nd, "p": p_nd, "n_points": len(qouts), "note": note_nd},
         {"scope": "GLOBAL", "species": "", "x": "q_out", "y": "ACC_global",
-         "rho": rho_acc, "p": p_acc, "n_points": len(qouts)},
+         "rho": rho_acc, "p": p_acc, "n_points": len(qouts), "note": note_acc},
     ]
 
     species = sorted({sp for r in records for sp in r["rk"]} | {sp for r in records for sp in r["acc_sp"]})
@@ -108,14 +128,18 @@ def analyze_grid(grid_dir: Path, log=print) -> List[dict]:
             (xs, yn, "rk", "NO_DETECT", None),
             (xq, xs, "q_out", "rk", None),
         ]:
-            rho, p = spearman_safe(x, y)
+            rho, p, note = spearman_safe(x, y)
             rows.append({"scope": "PER_CLASS", "species": sp, "x": xn, "y": yn_name,
-                         "rho": rho, "p": p, "n_points": len(x)})
-        log(f"- {sp}: corr(rk,ACC)={rows[-3]['rho']: .3f} corr(rk,ND)={rows[-2]['rho']: .3f} corr(q,rk)={rows[-1]['rho']: .3f}")
+                         "rho": rho, "p": p, "n_points": len(x), "note": note})
+
+        def _cell(r: dict) -> str:
+            return "n/a" if r["note"] else f"{r['rho']: .3f}"
+
+        log(f"- {sp}: corr(rk,ACC)={_cell(rows[-3])} corr(rk,ND)={_cell(rows[-2])} corr(q,rk)={_cell(rows[-1])}")
 
     out_csv = grid_dir / "spearman_table.csv"
     with open(out_csv, "w", newline="", encoding="utf-8") as f:
-        w = csv.DictWriter(f, fieldnames=["scope", "species", "x", "y", "rho", "p", "n_points"])
+        w = csv.DictWriter(f, fieldnames=["scope", "species", "x", "y", "rho", "p", "n_points", "note"])
         w.writeheader()
         w.writerows(rows)
     log(f"\n✅ table: {out_csv}")

@@ -77,3 +77,52 @@ def test_results_csv_columns(tmp_path):
     with open(p) as f:
         r = list(csv.DictReader(f))
     assert "error" in r[0]  # error column appears when any row failed
+
+
+def test_spearman_constant_input_explicit_na(tmp_path):
+    """A constant metric column must produce an explicit n/a row with a
+    reason — NOT scipy's ConstantInputWarning + silent NaN (VERDICT r4 #7)."""
+    import json
+    import warnings
+
+    from anuraxla.cli.spearman_analysis import analyze_grid, spearman_safe
+    from anuraxla.pipeline.benchmark import write_summary
+
+    # grid of 3 runs whose global metrics are IDENTICAL (constant y)
+    for i, q in enumerate(("0.10", "0.20", "0.30")):
+        d = tmp_path / f"qout_{q}"
+        d.mkdir()
+        write_summary(rows_fixture(), d / "summary.txt")
+        (d / "config_snapshot.json").write_text(json.dumps({
+            "q_out": float(q),
+            "rk_per_species": {"Aa": 1.0 + 0.1 * i, "Bb": 2.0},  # Bb: constant rk
+        }))
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # any warning (incl. scipy's) fails
+        rows = analyze_grid(tmp_path, log=lambda *a, **k: None)
+
+    by_key = {(r["scope"], r["species"], r["x"], r["y"]): r for r in rows}
+    g_acc = by_key[("GLOBAL", "", "q_out", "ACC_global")]
+    assert g_acc["rho"] != g_acc["rho"]  # NaN
+    assert "constant input" in g_acc["note"]
+    # constant rk for Bb -> per-class rk correlations are n/a with reason
+    bb = by_key[("PER_CLASS", "Bb", "rk", "ACC")]
+    assert bb["rho"] != bb["rho"] and "constant input" in bb["note"]
+    # varying rk for Aa vs constant acc -> still n/a (y constant), with reason
+    aa = by_key[("PER_CLASS", "Aa", "rk", "ACC")]
+    assert "constant input" in aa["note"]
+    # q_out vs rk for Aa is well-defined: monotone increasing -> rho == 1
+    aq = by_key[("PER_CLASS", "Aa", "q_out", "rk")]
+    assert aq["note"] == "" and abs(aq["rho"] - 1.0) < 1e-9
+
+    # the CSV carries the note column
+    import csv as _csv
+
+    with open(tmp_path / "spearman_table.csv") as f:
+        crows = list(_csv.DictReader(f))
+    assert "note" in crows[0]
+
+    # direct unit check of the guard
+    rho, p, note = spearman_safe([1.0, 1.0, 1.0], [1.0, 2.0, 3.0])
+    assert rho != rho and "constant input (x)" in note
