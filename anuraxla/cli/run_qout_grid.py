@@ -60,6 +60,7 @@ def subprocess_shared_args(args, cfg_path) -> list:
         "--hop-length", str(args.hop_length), "--n-fft", str(args.n_fft),
         "--batch-size", str(args.batch_size), "--io-threads", str(args.io_threads),
         "--frontend-backend", args.frontend_backend,
+        "--serving-tier", getattr(args, "serving_tier", "custom"),
     ]
     for flag, on in (
         ("--fast-frontend", args.fast_frontend),
@@ -99,6 +100,14 @@ def build_parser() -> argparse.ArgumentParser:
                    "the operating point with the best NOISED accuracy whose "
                    "CLEAN accuracy is within 2 points of the clean optimum — "
                    "q_out calibration with a noise margin")
+    p.add_argument("--augment-noise-db", type=str, default=None,
+                   help="comma list of SNRs (dB): every fit in this grid "
+                   "(per-point refits AND the --device-sweep fit) runs on the "
+                   "noise-augmented latent pool, so --noise-margin-db "
+                   "rethresholding composes with augmented fits in ONE "
+                   "calibration pass (docs/ROBUSTNESS.md)")
+    p.add_argument("--noise-seed", type=int, default=0,
+                   help="seed for --augment-noise-db / --noise-margin-db injection")
     add_device_arg(p)
     add_mel_args(p)
     add_encoder_args(p)
@@ -140,6 +149,9 @@ def main() -> None:
     print(f"📁 grid root:   {grid_root}")
     print(f"🎯 q_in={args.q_in} | grid={args.q_out_grid} | max_per_class={args.max_per_class}")
 
+    from anuraxla.cli.fit_radial import parse_augment
+
+    augment_db = parse_augment(args.augment_noise_db)
     session = None
     if not args.subprocess_compat:
         cfg0 = load_json(cfg_path)
@@ -147,6 +159,7 @@ def main() -> None:
             mel=mel_from_args(args, get_chunk_seconds(cfg0)),
             encoder_dir=Path(args.encoder) if args.encoder else None,
             project_root=project_root,
+            noise_seed=args.noise_seed,
             **session_kwargs(args),
         ).load()
 
@@ -162,12 +175,17 @@ def main() -> None:
                 # forward every parameter that changes results, so this mode
                 # really reproduces the in-process grid point
                 shared = subprocess_shared_args(args, cfg_path)
+                fit_extra = (
+                    ["--augment-noise-db", args.augment_noise_db,
+                     "--noise-seed", str(args.noise_seed)]
+                    if args.augment_noise_db else []
+                )
                 with open(runlog, "w", encoding="utf-8") as lf:
                     for cmd in (
                         [sys.executable, "-m", "anuraxla", "fit-radial",
                          "--root", str(train_dir), "--q-in", str(args.q_in), "--q-out", str(q_out),
                          "--max-per-class", str(args.max_per_class), "--cache",
-                         "--seed", str(args.seed)] + shared,
+                         "--seed", str(args.seed)] + fit_extra + shared,
                         [sys.executable, "-m", "anuraxla", "benchmark-folder",
                          "--root", str(val_dir), "--out-dir", str(bench_out)] + shared,
                     ):
@@ -195,7 +213,8 @@ def main() -> None:
                         cfg_path=cfg_path, cfg=cfg, chunks_dir=train_dir, session=session,
                         q_in=args.q_in, q_out=q_out, cache=True,
                         cache_dir=project_root / CACHE_DIR_NAME,
-                        max_per_class=args.max_per_class, seed=args.seed, log=log,
+                        max_per_class=args.max_per_class, seed=args.seed,
+                        augment_noise_db=augment_db, log=log,
                     )
                     run_folder_benchmark(
                         root=val_dir, config_path=cfg_path, detector="radial",
@@ -240,9 +259,10 @@ def _device_sweep(args, session, cfg_path, train_dir, val_dir, grid_root, projec
     import jax.numpy as jnp
     import numpy as np
 
+    from anuraxla.cli.fit_radial import parse_augment
     from anuraxla.config import priority_ranks, require_species
     from anuraxla.detect.calibrate import radial_qgrid
-    from anuraxla.pipeline.fit import _fit_radial_dispatch
+    from anuraxla.pipeline.fit import _fit_radial_dispatch, encode_augmented_tree
     from anuraxla.pipeline.session import (
         concat_species_latents,
         encode_species_tree,
@@ -251,9 +271,13 @@ def _device_sweep(args, session, cfg_path, train_dir, val_dir, grid_root, projec
 
     cfg = load_json(cfg_path)
     species_all = require_species(cfg)
-    Z_by, _, _ = encode_species_tree(
-        session, train_dir, species_all, cache=True,
-        cache_dir=project_root / CACHE_DIR_NAME,
+    # the sweep's fit pool honors --augment-noise-db, so the noise-margin
+    # recommendation below operates over AUGMENTED fits — the two robustness
+    # tools compose in one calibration pass (VERDICT r4 item 4)
+    augment_db = parse_augment(args.augment_noise_db)
+    Z_by, _, _ = encode_augmented_tree(
+        session, train_dir, species_all, augment_noise_db=augment_db,
+        cache=True, cache_dir=project_root / CACHE_DIR_NAME,
         max_per_class=args.max_per_class, seed=args.seed, log=lambda *a: None,
     )
     species, Z, mask = pad_species_latents(Z_by)

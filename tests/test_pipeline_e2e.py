@@ -305,6 +305,42 @@ def test_06c_device_sweep_data_parallel_matches(tree, monkeypatch, capsys):
             assert abs(a - b) <= 0.25, (k, col, a, b)
 
 
+def test_06d_device_sweep_composes_augment_and_noise_margin(tree, monkeypatch, capsys):
+    """ONE calibration pass with BOTH robustness tools (VERDICT r4 item 4):
+    --device-sweep fits on the --augment-noise-db latent pool AND the
+    --noise-margin-db rethreshold sweeps it, yielding an operating point on
+    an augmented fit."""
+    from anuraxla.cli import run_qout_grid
+
+    grid_root = tree / "outputs" / "qout_grid_aug_margin"
+    code, out = run_cli(
+        run_qout_grid,
+        ["--train-root", "train_chunks", "--val-root", "val_chunks",
+         "--q-in", "0.9", "--q-out-grid", "0.10", "0.20",
+         "--q-in-grid", "0.8", "0.9", "--device-sweep",
+         "--augment-noise-db", "6", "--noise-margin-db", "10",
+         "--grid-root", str(grid_root), "--max-per-class", "5"] + MEL_FLAGS,
+        tree, monkeypatch, capsys,
+    )
+    assert code == 0
+    # the sweep emitted a noise-margin operating point over the augmented fit
+    assert "noise-margin operating point" in out
+    import csv
+
+    with open(grid_root / "grid_metrics.csv") as f:
+        rows = list(csv.DictReader(f))
+    assert len(rows) == 2 * 2
+    assert {"val_accuracy_snr10db", "val_no_detect_rate_snr10db"} <= set(rows[0])
+    for r in rows:
+        for col in ("val_accuracy", "val_accuracy_snr10db"):
+            assert 0.0 <= float(r[col]) <= 1.0
+
+    # the per-point refits in the SAME pass also ran on the augmented pool:
+    # the post-fit config copy records the augment levels in meta_fit
+    used = json.loads((grid_root / "qout_0.10" / "config_used.json").read_text())
+    assert used["radial_detector"]["meta_fit"]["augment_noise_db"] == [6.0]
+
+
 def test_07_normalize_cli(tree, monkeypatch, capsys):
     from anuraxla.cli import normalize
 
