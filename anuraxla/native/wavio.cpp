@@ -244,6 +244,12 @@ struct MappedFile {
       *err = "mmap failed";
       return false;
     }
+    // the decoder sweeps each mapping exactly once front-to-back; ask the
+    // kernel for aggressive readahead on cold-cache page-ins (measured on
+    // this host: cold mmap 0.75-1.1 GB/s vs 1.25-1.36 GB/s O_DIRECT —
+    // scripts/probe_cold_io.py; the hint narrows that gap for free, and
+    // decode stays CPU-bound either way on a 1-core host)
+    madvise(p, size, MADV_SEQUENTIAL);
     data = static_cast<const uint8_t*>(p);
     posix_madvise(p, size, POSIX_MADV_SEQUENTIAL);
     return true;
