@@ -4,7 +4,8 @@
 // (08_fit_radial_detector.py:488-506) on the host side: a thread pool
 // decodes RIFF/WAVE files (PCM 8/16/24/32-bit, IEEE float32/64) straight
 // into a caller-provided [n, num_samples] float32 batch buffer — mono
-// mixdown, crop/pad, optional linear resample — zero Python in the loop.
+// mixdown, crop/pad, optional Kaiser-polyphase resample (scipy
+// resample_poly math) — zero Python in the loop.
 // The TPU consumes the batch directly; decode of batch i+1 overlaps device
 // compute of batch i (see anuraxla.pipeline.dataset).
 //
@@ -17,12 +18,18 @@
 #include <unistd.h>
 
 #include <atomic>
+#include <cmath>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <mutex>
 #include <string>
 #include <thread>
 #include <vector>
+
+#ifndef M_PI
+#define M_PI 3.14159265358979323846
+#endif
 
 namespace {
 
@@ -197,21 +204,109 @@ bool decode_mono(const Fmt& fmt, const uint8_t* data, size_t len,
 // Linear resample (used only when file rate != target; datasets ship at the
 // target rate, and the Python path with polyphase resampling remains the
 // quality option for offline conversion).
-void resample_linear(const std::vector<float>& in, uint32_t sr_in, uint32_t sr_out,
-                     std::vector<float>* out) {
+// --- Kaiser-windowed polyphase resampler ------------------------------------
+//
+// Same math as scipy.signal.resample_poly(x, up, down) with its default
+// ('kaiser', 5.0) window — which is also this package's Python fallback
+// (utils/wavio.resample), so native and Python decode paths now agree to
+// float32 rounding instead of the old linear-interp ~1% drift. (The
+// reference resamples via librosa.load's soxr [map_detector_core.py:227];
+// a Kaiser polyphase FIR is the same filter family soxr implements.)
+
+double bessel_i0(double x) {
+  // power series sum_k ((x/2)^k / k!)^2; converges to double precision
+  const double hx = 0.5 * x;
+  double term = 1.0, sum = 1.0;
+  for (int k = 1; k < 200; ++k) {
+    term *= hx / k;
+    const double add = term * term;
+    sum += add;
+    if (add < sum * 1e-18) break;
+  }
+  return sum;
+}
+
+// firwin(2*half_len+1, 1/max_rate, window=('kaiser', 5.0)), normalized to
+// unit DC gain, then scaled by `up` (resample_poly's h *= up).
+std::vector<double> design_resample_fir(int up, int down) {
+  const int max_rate = up > down ? up : down;
+  const double f_c = 1.0 / max_rate;
+  const int half_len = 10 * max_rate;
+  const int numtaps = 2 * half_len + 1;
+  const double alpha = 0.5 * (numtaps - 1);
+  const double beta = 5.0;
+  const double i0b = bessel_i0(beta);
+  std::vector<double> h(numtaps);
+  double sum = 0.0;
+  for (int i = 0; i < numtaps; ++i) {
+    const double m = i - alpha;
+    const double x = f_c * m;
+    const double sinc = x == 0.0 ? 1.0 : std::sin(M_PI * x) / (M_PI * x);
+    const double r = m / alpha;
+    const double w = bessel_i0(beta * std::sqrt(1.0 - r * r)) / i0b;
+    h[i] = f_c * sinc * w;
+    sum += h[i];
+  }
+  for (double& v : h) v = v / sum * up;
+  return h;
+}
+
+struct ResampleFilter {
+  int up = 1, down = 1;
+  int n_pre_pad = 0;    // leading zeros (group-delay alignment, scipy)
+  int n_pre_remove = 0; // leading outputs dropped
+  std::vector<double> h;  // WITHOUT the pre-pad; indexed via n_pre_pad offset
+};
+
+// one filter per (up, down) pair, shared across the decode thread pool
+const ResampleFilter* get_resample_filter(int up, int down) {
+  static std::mutex mu;
+  static std::vector<ResampleFilter*> cache;
+  std::lock_guard<std::mutex> lock(mu);
+  for (const auto* f : cache)
+    if (f->up == up && f->down == down) return f;
+  auto* f = new ResampleFilter();
+  f->up = up;
+  f->down = down;
+  f->h = design_resample_fir(up, down);
+  const int half_len = 10 * (up > down ? up : down);
+  f->n_pre_pad = down - half_len % down;
+  f->n_pre_remove = (half_len + f->n_pre_pad) / down;
+  cache.push_back(f);
+  return f;
+}
+
+void resample_poly_kaiser(const std::vector<float>& in, uint32_t sr_in,
+                          uint32_t sr_out, std::vector<float>* out) {
   if (sr_in == sr_out || in.empty()) {
     *out = in;
     return;
   }
-  const double ratio = static_cast<double>(sr_in) / sr_out;
-  const size_t n_out = static_cast<size_t>(in.size() / ratio);
-  out->resize(n_out);
-  for (size_t i = 0; i < n_out; ++i) {
-    const double src = i * ratio;
-    const size_t lo = static_cast<size_t>(src);
-    const size_t hi = lo + 1 < in.size() ? lo + 1 : in.size() - 1;
-    const float frac = static_cast<float>(src - lo);
-    (*out)[i] = in[lo] * (1.0f - frac) + in[hi] * frac;
+  uint32_t a = sr_in, b = sr_out;
+  while (b) { const uint32_t t = a % b; a = b; b = t; }
+  const int up = static_cast<int>(sr_out / a);
+  const int down = static_cast<int>(sr_in / a);
+  const ResampleFilter* f = get_resample_filter(up, down);
+  const int64_t n_in = static_cast<int64_t>(in.size());
+  const int64_t n_out = n_in * up / down + ((n_in * up) % down != 0);
+  const int64_t taps = static_cast<int64_t>(f->h.size());
+  out->resize(static_cast<size_t>(n_out));
+  // y[t] = sum_i x[i] * h_pad[(t + n_pre_remove)*down - i*up], h_pad =
+  // n_pre_pad zeros then h — evaluated polyphase: ~taps/up MACs per output
+  for (int64_t t = 0; t < n_out; ++t) {
+    const int64_t j = (t + f->n_pre_remove) * static_cast<int64_t>(down)
+                      - f->n_pre_pad;  // index into h proper
+    // need 0 <= j - i*up <= taps-1  ->  i in [ceil((j-taps+1)/up), floor(j/up)]
+    int64_t i_lo = (j - taps + 1 + up - 1) / up;  // ceil for positive up
+    if (j - taps + 1 <= 0) i_lo = (j - taps + 1) / up;  // floor-div fix
+    if (i_lo < 0) i_lo = 0;
+    int64_t i_hi = j >= 0 ? j / up : -1;
+    if (i_hi > n_in - 1) i_hi = n_in - 1;
+    double acc = 0.0;
+    for (int64_t i = i_lo; i <= i_hi; ++i)
+      acc += static_cast<double>(in[static_cast<size_t>(i)]) *
+             f->h[static_cast<size_t>(j - i * up)];
+    (*out)[static_cast<size_t>(t)] = static_cast<float>(acc);
   }
 }
 
@@ -244,13 +339,12 @@ struct MappedFile {
       *err = "mmap failed";
       return false;
     }
-    // the decoder sweeps each mapping exactly once front-to-back; ask the
-    // kernel for aggressive readahead on cold-cache page-ins (measured on
-    // this host: cold mmap 0.75-1.1 GB/s vs 1.25-1.36 GB/s O_DIRECT —
-    // scripts/probe_cold_io.py; the hint narrows that gap for free, and
-    // decode stays CPU-bound either way on a 1-core host)
-    madvise(p, size, MADV_SEQUENTIAL);
     data = static_cast<const uint8_t*>(p);
+    // the decoder sweeps each mapping exactly once front-to-back; aggressive
+    // readahead on cold-cache page-ins (measured on this host: cold mmap
+    // 0.75-1.1 GB/s vs 1.25-1.36 GB/s O_DIRECT — scripts/probe_cold_io.py;
+    // the hint narrows that gap for free, and decode stays CPU-bound either
+    // way on a 1-core host, so no O_DIRECT path: measured negative)
     posix_madvise(p, size, POSIX_MADV_SEQUENTIAL);
     return true;
   }
@@ -329,7 +423,8 @@ void load_one(const char* path, int target_sr, int64_t num_samples, float* row,
   }
   const std::vector<float>* src = &mono;
   if (!native_rate) {
-    resample_linear(mono, fmt.sample_rate, static_cast<uint32_t>(target_sr), &res);
+    resample_poly_kaiser(mono, fmt.sample_rate, static_cast<uint32_t>(target_sr),
+                         &res);
     src = &res;
   }
   const size_t n = src->size() < static_cast<size_t>(num_samples)

@@ -52,9 +52,38 @@ def test_native_resample_close_to_python(wav_dir, tmp_path):
     ref, _ = read_wav(p, sr=48000)
     assert nb.ok[0]
     n = min(len(ref), 47000)
-    # linear vs polyphase resampling: same signal to ~1% on a smooth tone
+    # both paths are the same Kaiser-polyphase filter now (r5): bit-close
     err = np.abs(nb.audio[0, :n] - ref[:n]).max()
-    assert err < 0.02, err
+    assert err < 1e-5, err
+
+
+@needs_native
+@pytest.mark.parametrize("sr_in,sr_out", [
+    (48000, 16000),   # integer decimate (the common field-data case)
+    (44100, 48000),   # CD -> 48k: up=160/down=147, the hard fractional pair
+    (22050, 48000),
+    (32000, 48000),
+    (44100, 16000),
+])
+def test_native_resampler_matches_scipy_oracle(tmp_path, sr_in, sr_out):
+    """The native resampler IS scipy.signal.resample_poly's math (Kaiser 5.0
+    window, half_len=10*max_rate, unit-DC firwin, group-delay slicing) — pin
+    float32 bit-equality against the scipy oracle on broadband noise, the
+    signal class that exposes filter differences (tones don't)."""
+    from scipy.signal import resample_poly
+
+    rng = np.random.default_rng(int(sr_in) % 1000)
+    yin = (0.4 * rng.standard_normal(sr_in)).astype(np.float32)  # 1 s
+    p = tmp_path / f"in_{sr_in}.wav"
+    write_wav(p, yin, sr_in, subtype="FLOAT")
+    n_out = int(np.ceil(len(yin) * sr_out / sr_in))
+    nb = wavloader.load_batch([p], sr=sr_out, num_samples=n_out, num_threads=1)
+    assert nb.ok[0]
+    g = np.gcd(sr_in, sr_out)
+    ref = resample_poly(yin.astype(np.float64),
+                        sr_out // g, sr_in // g).astype(np.float32)
+    m = min(len(ref), n_out)
+    np.testing.assert_allclose(nb.audio[0, :m], ref[:m], rtol=0, atol=5e-6)
 
 
 @needs_native
