@@ -25,11 +25,18 @@ import os as _os
 def _enable_compilation_cache() -> None:
     """Persistent XLA compilation cache (opt IN: ANURAXLA_COMPILE_CACHE=1).
 
-    Opt-in rather than default: on hosts where TPU compilation is remote, the
-    cache can retain CPU AOT artifacts built for a different machine's CPU
-    features, which XLA then warns may SIGILL when loaded locally. Enable it
-    on normal single-machine TPU hosts, where it removes repeated multi-second
-    jit compiles across CLI processes."""
+    Measured through a remote-compile TPU relay (round 5, BASELINE.md): TPU
+    executables round-trip the cache correctly — the full VAE train step's
+    compile drops 151 s -> 6.1 s across fresh processes with identical
+    losses, and the encoder forward 377 s -> 1.4 s. scripts/02_train_vae.sh
+    turns it on to train the demo on-chip.
+
+    Still opt-in rather than default: on remote-compile hosts the cache can
+    also retain CPU AOT artifacts built for a different machine's CPU
+    features, which XLA then warns may SIGILL when loaded locally — the TPU
+    entries are safe, the cross-machine CPU entries are the hazard. Enable
+    it wherever processes repeat the same jits (normal single-machine TPU
+    hosts always qualify)."""
     if not _os.environ.get("ANURAXLA_COMPILE_CACHE"):
         return
     try:
