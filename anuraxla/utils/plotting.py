@@ -26,12 +26,29 @@ def _confusion(rows: List[dict]):
     return labels, cm
 
 
+def _apply_seaborn_style() -> None:
+    """Optional seaborn styling, mirroring the reference's behavior: its
+    benchmark plots call ``sns.set_theme()`` when seaborn is importable
+    (``ref:10_benchmark_folder_detection.py:205-215``) and fall back to bare
+    matplotlib otherwise. seaborn is absent in this image by design, so the
+    fallback is the tested path; on an environment that has it, the plots
+    pick up the same theme the reference's would."""
+    try:
+        import seaborn as sns
+
+        sns.set_theme(style="whitegrid")
+    except Exception:
+        pass
+
+
 def write_benchmark_plots(rows: List[dict], out_dir: Path, *, map_variant: bool = False) -> None:
     import matplotlib
 
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
     import numpy as np
+
+    _apply_seaborn_style()
 
     suffix = " — MAP" if map_variant else ""
     out_dir = Path(out_dir)
