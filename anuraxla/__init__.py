@@ -37,7 +37,11 @@ def _enable_compilation_cache() -> None:
     entries are safe, the cross-machine CPU entries are the hazard. Enable
     it wherever processes repeat the same jits (normal single-machine TPU
     hosts always qualify)."""
-    if not _os.environ.get("ANURAXLA_COMPILE_CACHE"):
+    # explicit opt-out values must win: scripts export the flag with a
+    # default-on (e.g. 02_train_vae.sh's ${ANURAXLA_COMPILE_CACHE:-1}), so
+    # a user-supplied "0" reaches us as the string "0", which is truthy
+    if _os.environ.get("ANURAXLA_COMPILE_CACHE", "").strip().lower() in (
+            "", "0", "false", "off", "no"):
         return
     try:
         import jax

@@ -65,17 +65,22 @@ def add_batch_args(p: argparse.ArgumentParser) -> None:
         "and SNR-sweep-characterized in docs/ROBUSTNESS.md. "
         "'custom' (default) = exactly the individual flags",
     )
+    # the three tier-controlled knobs default to None so resolve_tier_knobs
+    # can tell "user typed the flag" from "flag absent" — an explicit value
+    # must beat the tier even when it equals the built-in default (e.g.
+    # `--serving-tier fast --encoder-dtype float32`)
     p.add_argument(
-        "--fast-frontend", action="store_true",
+        "--fast-frontend", action="store_true", default=None,
         help="crop-first mel frontend (~3.3x fewer STFT FLOPs for 5s clips); "
         "statistically equivalent for detection, not bit-identical to librosa",
     )
     p.add_argument(
-        "--frontend-backend", type=str, default="matmul",
+        "--frontend-backend", type=str, default=None,
         choices=["matmul", "ct", "fft", "pallas", "pallas-bf16"],
         help="STFT/mel implementation (pallas = fused in-VMEM Cooley-Tukey "
         "TPU kernel, exact f32; pallas-bf16 = its bf16 MXU mode, ~6e-2 "
-        "standardized-dB error, decision-equivalent on the test trees)",
+        "standardized-dB error, decision-equivalent on the test trees). "
+        "Default: matmul (or the --serving-tier's choice)",
     )
     p.add_argument(
         "--data-parallel", action="store_true",
@@ -101,18 +106,19 @@ def add_batch_args(p: argparse.ArgumentParser) -> None:
         "Requires parity mode, --frontend-backend pallas, hop %% 128 == 0",
     )
     p.add_argument(
-        "--encoder-dtype", type=str, default="float32",
+        "--encoder-dtype", type=str, default=None,
         choices=["float32", "bfloat16"],
         help="encoder trunk compute dtype (params stay f32; the mu/logvar "
         "heads always run f32). bfloat16 halves the conv stack's HBM "
         "traffic (~2x encoder throughput on v5e) at ~1e-2 relative latent "
         "drift — latent caches are fingerprinted separately. float32 is "
-        "the default and required for torch-checkpoint bit-parity",
+        "the default (or the --serving-tier's choice) and required for "
+        "torch-checkpoint bit-parity",
     )
 
 
-# knob bundles behind --serving-tier; an individual flag set away from its
-# argparse default always wins over the tier's choice
+# knob bundles behind --serving-tier; an individual flag the user typed
+# always wins over the tier's choice
 SERVING_TIERS = {
     "parity": {"fast_frontend": False, "frontend_backend": "pallas",
                "encoder_dtype": "float32"},
@@ -129,16 +135,17 @@ _TIER_FLAG_DEFAULTS = {
 
 def resolve_tier_knobs(args) -> dict:
     """(fast_frontend, frontend_backend, encoder_dtype) after applying
-    --serving-tier. Flags the user moved off their defaults override the
-    tier (a tier is a bundle of defaults, not a lock)."""
-    knobs = {
-        k: getattr(args, k, d) for k, d in _TIER_FLAG_DEFAULTS.items()
-    }
+    --serving-tier. The knob flags carry None-sentinel argparse defaults, so
+    presence is unambiguous: a flag the user typed overrides the tier even
+    when its value equals the built-in default (a tier is a bundle of
+    defaults, not a lock); absent flags take the tier's value, then the
+    built-in default."""
     tier = getattr(args, "serving_tier", "custom")
-    if tier != "custom":
-        for k, v in SERVING_TIERS[tier].items():
-            if knobs[k] == _TIER_FLAG_DEFAULTS[k]:  # not explicitly overridden
-                knobs[k] = v
+    tier_vals = SERVING_TIERS.get(tier, {})
+    knobs = {}
+    for k, builtin in _TIER_FLAG_DEFAULTS.items():
+        v = getattr(args, k, None)
+        knobs[k] = v if v is not None else tier_vals.get(k, builtin)
     return knobs
 
 

@@ -37,6 +37,7 @@ from anuraxla.cli.common import (
     project_root_here,
     resolve_config,
     resolve_root_dir,
+    resolve_tier_knobs,
 )
 from anuraxla.config import get_chunk_seconds
 from anuraxla.constants import CACHE_DIR_NAME
@@ -51,7 +52,11 @@ def subprocess_shared_args(args, cfg_path) -> list:
     """The flag set forwarded to every spawned fit/benchmark subprocess in
     --subprocess-compat mode — every parameter that changes results. Kept as
     a function so a test can pin it against add_batch_args/add_mel_args
-    (the forwarding silently drifted from the flag surface once already)."""
+    (the forwarding silently drifted from the flag surface once already).
+    The tier knobs are forwarded RESOLVED (resolve_tier_knobs), so children
+    reproduce the parent's operating point exactly regardless of how it was
+    spelled (tier vs individual flags)."""
+    knobs = resolve_tier_knobs(args)
     shared = [
         "--config", str(cfg_path), "--device", args.device,
         "--sr", str(args.sr), "--n-mels", str(args.n_mels),
@@ -59,11 +64,12 @@ def subprocess_shared_args(args, cfg_path) -> list:
         "--fmin", str(args.fmin), "--fmax", str(args.fmax),
         "--hop-length", str(args.hop_length), "--n-fft", str(args.n_fft),
         "--batch-size", str(args.batch_size), "--io-threads", str(args.io_threads),
-        "--frontend-backend", args.frontend_backend,
+        "--frontend-backend", knobs["frontend_backend"],
+        "--encoder-dtype", knobs["encoder_dtype"],
         "--serving-tier", getattr(args, "serving_tier", "custom"),
     ]
     for flag, on in (
-        ("--fast-frontend", args.fast_frontend),
+        ("--fast-frontend", knobs["fast_frontend"]),
         ("--transfer-int16", args.transfer_int16),
         ("--quantize-serving", args.quantize_serving),
         ("--data-parallel", args.data_parallel),

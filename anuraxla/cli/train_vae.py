@@ -20,6 +20,7 @@ from anuraxla.cli.common import (
     apply_device,
     mel_from_args,
     project_root_here,
+    resolve_tier_knobs,
 )
 from anuraxla.constants import DEFAULT_ENCODER_DIR
 from anuraxla.models.checkpoint import save_encoder, save_train_state
@@ -169,16 +170,21 @@ def main() -> None:
     if args.transfer_int16 or args.quantize_serving:
         print("ℹ️ --transfer-int16/--quantize-serving are serving-path flags; "
               "training ignores them")
-    backend = args.frontend_backend
-    if backend == "matmul" and jax.default_backend() == "cpu":
+    # --serving-tier picks the frontend knobs here too: "train on the
+    # features you will serve" (the tier's encoder_dtype is a serving knob —
+    # training precision stays --bf16)
+    knobs = resolve_tier_knobs(args)
+    backend = knobs["frontend_backend"]
+    if backend in ("matmul", "matmul-bf16") and jax.default_backend() == "cpu":
         # the dense-DFT matmul exists for the MXU; on CPU it is ~300 GFLOP
         # per batch (minutes/step). The fft backend is the librosa-exact
-        # oracle — same math, ~1000x cheaper on host.
+        # oracle — same math, ~1000x cheaper on host. (pallas* resolves its
+        # own CPU fallback inside ops.frontend.)
         backend = "fft"
         print("ℹ️ CPU training: using the fft mel backend (matmul is MXU-only fast)")
     stream = mel_batch_stream(
         Path(args.root), mel, args.batch_size, args.io_threads, args.epochs,
-        parity=not args.fast_frontend, backend=backend,
+        parity=not knobs["fast_frontend"], backend=backend,
     )
 
     initial_state = None

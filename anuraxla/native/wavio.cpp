@@ -95,6 +95,14 @@ bool parse_wav(const uint8_t* raw, size_t raw_len, Fmt* fmt, const uint8_t** dat
     *err = "WAV has zero channels";
     return false;
   }
+  // a zero rate divides by zero in the resampler's gcd reduction and an
+  // absurd one demands a multi-billion-tap filter design — both are corrupt
+  // headers; fail the file, never the process (2 MHz covers every real
+  // audio format with wide margin)
+  if (fmt->sample_rate == 0 || fmt->sample_rate > 2000000u) {
+    *err = "implausible WAV sample rate";
+    return false;
+  }
   return true;
 }
 
@@ -201,9 +209,6 @@ bool decode_mono(const Fmt& fmt, const uint8_t* data, size_t len,
   }
 }
 
-// Linear resample (used only when file rate != target; datasets ship at the
-// target rate, and the Python path with polyphase resampling remains the
-// quality option for offline conversion).
 // --- Kaiser-windowed polyphase resampler ------------------------------------
 //
 // Same math as scipy.signal.resample_poly(x, up, down) with its default
@@ -276,16 +281,25 @@ const ResampleFilter* get_resample_filter(int up, int down) {
   return f;
 }
 
-void resample_poly_kaiser(const std::vector<float>& in, uint32_t sr_in,
-                          uint32_t sr_out, std::vector<float>* out) {
+bool resample_poly_kaiser(const std::vector<float>& in, uint32_t sr_in,
+                          uint32_t sr_out, std::vector<float>* out,
+                          std::string* err) {
   if (sr_in == sr_out || in.empty()) {
     *out = in;
-    return;
+    return true;
   }
   uint32_t a = sr_in, b = sr_out;
   while (b) { const uint32_t t = a % b; a = b; b = t; }
-  const int up = static_cast<int>(sr_out / a);
-  const int down = static_cast<int>(sr_in / a);
+  const uint32_t up_u = sr_out / a, down_u = sr_in / a;
+  // filter length is 20*max(up,down)+1 taps: bound it so a co-prime header
+  // rate can cost at most ~2.6M taps of one-time (cached) design work, and
+  // the int32 tap math below can never overflow
+  if ((up_u > down_u ? up_u : down_u) > (1u << 17)) {
+    *err = "unsupported resample ratio (filter too long)";
+    return false;
+  }
+  const int up = static_cast<int>(up_u);
+  const int down = static_cast<int>(down_u);
   const ResampleFilter* f = get_resample_filter(up, down);
   const int64_t n_in = static_cast<int64_t>(in.size());
   const int64_t n_out = n_in * up / down + ((n_in * up) % down != 0);
@@ -308,6 +322,7 @@ void resample_poly_kaiser(const std::vector<float>& in, uint32_t sr_in,
              f->h[static_cast<size_t>(j - i * up)];
     (*out)[static_cast<size_t>(t)] = static_cast<float>(acc);
   }
+  return true;
 }
 
 // mmap'd read-only view (zero-copy: the decoder reads PCM straight from the
@@ -423,8 +438,11 @@ void load_one(const char* path, int target_sr, int64_t num_samples, float* row,
   }
   const std::vector<float>* src = &mono;
   if (!native_rate) {
-    resample_poly_kaiser(mono, fmt.sample_rate, static_cast<uint32_t>(target_sr),
-                         &res);
+    if (!resample_poly_kaiser(mono, fmt.sample_rate,
+                              static_cast<uint32_t>(target_sr), &res, &err)) {
+      std::snprintf(err_out, err_cap, "%s", err.c_str());
+      return;
+    }
     src = &res;
   }
   const size_t n = src->size() < static_cast<size_t>(num_samples)

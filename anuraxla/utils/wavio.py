@@ -59,6 +59,11 @@ def _parse_wav_bytes(buf: bytes) -> Tuple[np.ndarray, int]:
     audio_format, channels, sr, _byte_rate, _block_align, bits = fmt
     if channels <= 0:
         raise ValueError("WAV has zero channels")
+    # mirror the native decoder: a zero rate divides by zero in the
+    # resampler's gcd reduction, an absurd one demands an unbounded filter
+    # design — corrupt header either way
+    if sr <= 0 or sr > 2_000_000:
+        raise ValueError("implausible WAV sample rate")
 
     if audio_format == WAVE_FORMAT_IEEE_FLOAT:
         if bits == 32:
@@ -103,7 +108,13 @@ def resample(y: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
     from scipy.signal import resample_poly
 
     g = math.gcd(sr_in, sr_out)
-    return resample_poly(y, sr_out // g, sr_in // g).astype(np.float32)
+    up, down = sr_out // g, sr_in // g
+    # same bound as the native decoder: resample_poly designs a
+    # 20*max(up,down)+1-tap filter, so a co-prime bogus header rate would
+    # demand unbounded design work — fail the file, never hang the process
+    if max(up, down) > 1 << 17:
+        raise ValueError("unsupported resample ratio (filter too long)")
+    return resample_poly(y, up, down).astype(np.float32)
 
 
 def read_wav(

@@ -89,11 +89,20 @@ def test_subprocess_compat_forwards_all_result_changing_flags():
     ])
     shared = subprocess_shared_args(args, "cfg.json")
     for flag in ("--fast-frontend", "--transfer-int16", "--quantize-serving",
-                 "--data-parallel", "--frontend-backend", "--encoder",
-                 "--sr", "--n-mels", "--target-frames", "--fmin", "--fmax",
-                 "--hop-length", "--n-fft", "--batch-size", "--io-threads"):
+                 "--data-parallel", "--frontend-backend", "--encoder-dtype",
+                 "--encoder", "--sr", "--n-mels", "--target-frames", "--fmin",
+                 "--fmax", "--hop-length", "--n-fft", "--batch-size",
+                 "--io-threads"):
         assert flag in shared, flag
     assert shared[shared.index("--frontend-backend") + 1] == "pallas-bf16"
+    # tier knobs forward RESOLVED: a tier spelled as --serving-tier reaches
+    # the child as the explicit per-flag values too (review r5 finding: the
+    # forwarding used to omit --encoder-dtype entirely)
+    args_tier = build_parser().parse_args(["--serving-tier", "fast"])
+    shared_tier = subprocess_shared_args(args_tier, "cfg.json")
+    assert shared_tier[shared_tier.index("--encoder-dtype") + 1] == "bfloat16"
+    assert shared_tier[shared_tier.index("--frontend-backend") + 1] == "pallas-bf16"
+    assert "--fast-frontend" in shared_tier
     # and the boolean flags are NOT forwarded when off
     args_off = build_parser().parse_args([])
     shared_off = subprocess_shared_args(args_off, "cfg.json")
@@ -136,6 +145,17 @@ def test_serving_tier_resolution():
                                   "--frontend-backend", "pallas"]))
     assert k["frontend_backend"] == "pallas" and k["fast_frontend"] is True
 
+    # ... even when the explicit value EQUALS the built-in default (review
+    # r5 finding: the old default-comparison heuristic silently replaced
+    # `--serving-tier fast --encoder-dtype float32` with the tier's bf16)
+    k = resolve_tier_knobs(parse(["--serving-tier", "fast",
+                                  "--encoder-dtype", "float32"]))
+    assert k["encoder_dtype"] == "float32"
+    assert k["fast_frontend"] is True and k["frontend_backend"] == "pallas-bf16"
+    k = resolve_tier_knobs(parse(["--serving-tier", "fast",
+                                  "--frontend-backend", "matmul"]))
+    assert k["frontend_backend"] == "matmul"
+
     # session_kwargs consumes the resolved knobs
     sk = session_kwargs(parse(["--serving-tier", "fast"]))
     assert sk["parity"] is False and sk["backend"] == "pallas-bf16"
@@ -149,3 +169,20 @@ def test_serving_tier_resolution():
     args = build_parser().parse_args(["--serving-tier", "fast"])
     shared = subprocess_shared_args(args, "cfg.json")
     assert shared[shared.index("--serving-tier") + 1] == "fast"
+
+
+def test_compile_cache_opt_out_values(monkeypatch):
+    """ANURAXLA_COMPILE_CACHE=0 must DISABLE the cache (review r5 finding:
+    02_train_vae.sh defaults the var to 1 with ${:-1}, so a user opt-out
+    arrives as the truthy string "0")."""
+    import jax
+
+    import anuraxla
+
+    before = jax.config.jax_compilation_cache_dir
+    for off in ("0", "false", "OFF", "no", ""):
+        monkeypatch.setenv("ANURAXLA_COMPILE_CACHE", off)
+        monkeypatch.setattr(jax.config, "update",
+                            lambda *a, **k: pytest.fail(f"cache enabled for {off!r}"))
+        anuraxla._enable_compilation_cache()
+    assert jax.config.jax_compilation_cache_dir == before

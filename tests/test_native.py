@@ -150,6 +150,51 @@ def test_native_pcm24_and_pcm8_match_python(tmp_path, rng):
     np.testing.assert_allclose(nb.audio[1], y, atol=1.5 / 128)
 
 
+def _write_rate_wav(path, sr):
+    """Minimal PCM16 mono WAV whose fmt chunk declares an arbitrary rate."""
+    import struct
+
+    payload = np.zeros(64, dtype="<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sr & 0xFFFFFFFF, 0, 2, 16)
+    buf = b"".join([
+        b"RIFF", struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(payload)), b"WAVE",
+        b"fmt ", struct.pack("<I", len(fmt)), fmt,
+        b"data", struct.pack("<I", len(payload)), payload,
+    ])
+    path.write_bytes(buf)
+
+
+@needs_native
+def test_native_corrupt_sample_rate_fails_file_not_process(tmp_path):
+    """Review r5 findings: sample_rate=0 used to SIGFPE the whole process
+    (gcd(0, target) makes down=0) and a 4-billion header rate demanded a
+    multi-billion-tap filter design (int overflow + unbounded CPU). Both
+    must fail the FILE (ok=0, error string) like every other malformed
+    input, alongside a good file that still decodes."""
+    bad0 = tmp_path / "rate0.wav"
+    badmax = tmp_path / "ratemax.wav"
+    badratio = tmp_path / "rateprime.wav"  # plausible magnitude, co-prime
+    good = tmp_path / "good.wav"
+    _write_rate_wav(bad0, 0)
+    _write_rate_wav(badmax, 0xFFFFFFFF)
+    _write_rate_wav(badratio, 1_999_993)  # prime: up/down reduce to ~2M
+    write_wav(good, np.zeros(256, dtype=np.float32), 48000)
+
+    nb = wavloader.load_batch([bad0, badmax, badratio, good],
+                              sr=48000, num_samples=1024, num_threads=2)
+    assert list(nb.ok) == [0, 0, 0, 1]
+    assert "sample rate" in nb.errors[0] and "sample rate" in nb.errors[1]
+    assert "resample ratio" in nb.errors[2]
+    # the Python decode path rejects the same headers (parity of behavior)
+    from anuraxla.utils.wavio import read_wav
+
+    for bad in (bad0, badmax):
+        with pytest.raises(ValueError, match="sample rate"):
+            read_wav(bad)
+    with pytest.raises(ValueError, match="resample ratio"):
+        read_wav(badratio, sr=48000)
+
+
 @needs_native
 def test_native_crop_early_and_generic_paths(tmp_path):
     """Fast paths crop to num_samples without reading the tail; 24-bit and
