@@ -31,6 +31,26 @@ def _force_cpu():
     return jax
 
 
+def encode_fixture():
+    """Deterministic tiny serving fixture shared by the cluster workers and
+    the parent test's single-process oracle: (mel, encoder, params, audio).
+    The audio batch is sized 2 rows per process at the largest cluster the
+    suite spawns (4), so the 'data' axis always divides it."""
+    import jax  # noqa: F401  (flax init needs an initialized backend)
+
+    from anuraxla.constants import MelConfig
+    from anuraxla.models.vae import VAEConfig, init_encoder
+
+    mel = MelConfig(duration=0.25, target_frames=32, n_mels=32, sr=16000,
+                    fmax=7000)
+    cfg = VAEConfig(latent_dim=16, widths=(8, 16), dense_width=32, groups=4,
+                    input_hw=(32, 32))
+    enc, params = init_encoder(cfg, seed=0)
+    audio = 0.1 * np.random.default_rng(1).standard_normal(
+        (8, mel.num_samples)).astype(np.float32)
+    return mel, enc, params, audio
+
+
 def run_degrade(out_path: str) -> None:
     jax = _force_cpu()
     from anuraxla.parallel.multihost import initialize_multihost
@@ -97,6 +117,26 @@ def run_cluster(port: int, pid: int, nprocs: int, out_path: str) -> None:
     res["radial_rk"] = fetch(rfit.rk).tolist()
     res["radial_rk_in"] = fetch(rfit.rk_in).tolist()
     res["radial_rk_out"] = fetch(rfit.rk_out).tolist()
+
+    # the SERVING path across real process boundaries: mesh-sharded raw
+    # audio -> log-mel -> encoder forward (parallel/encode.make_sharded_encode
+    # — the --data-parallel production path). Each process feeds the same
+    # global batch; jit shards it over the cross-process 'data' axis, so the
+    # rows this process computes live on its device and the rows it reads
+    # back were computed by its peers.
+    from anuraxla.parallel.encode import make_sharded_encode
+
+    smel, senc, sparams, audio = encode_fixture()
+    sharded_encode = make_sharded_encode(mesh, senc.apply, smel)
+    # multi-process jit refuses numpy args under a non-trivial sharding
+    # (it cannot know the host copies agree); make_array_from_callback
+    # builds the global batch-sharded array from the identical host copy
+    batch_sh = NamedSharding(mesh, P("data"))
+    g_audio = jax.make_array_from_callback(
+        audio.shape, batch_sh, lambda idx: audio[idx]
+    )
+    z = sharded_encode(sparams, g_audio)
+    res["encode_z"] = fetch(z).tolist()
 
     with open(out_path, "w") as f:
         json.dump(res, f)

@@ -379,6 +379,26 @@ def _cluster_env():
     return env
 
 
+def _assert_encode_parity(res):
+    """Every cluster process returned the same replicated latents from the
+    cross-process sharded encode, and they match a single-process oracle
+    running the identical fixture unsharded (no collective in the forward —
+    batch rows are independent — so agreement is near-bitwise)."""
+    from multihost_worker import encode_fixture
+
+    mel, enc, params, audio = encode_fixture()
+    from anuraxla.ops.frontend import log_mel_batch, mel_to_encoder_input
+
+    ref = np.asarray(
+        enc.apply(params, mel_to_encoder_input(
+            log_mel_batch(jnp.asarray(audio), mel, parity=True)))["mu"]
+    )
+    for r in res[1:]:
+        np.testing.assert_allclose(res[0]["encode_z"], r["encode_z"],
+                                   rtol=0, atol=0, err_msg="encode_z")
+    np.testing.assert_allclose(res[0]["encode_z"], ref, rtol=2e-5, atol=2e-6)
+
+
 def _spawn_cpu_cluster(nprocs: int, tmp_path, timeout_s: float = 300):
     """Launch nprocs multihost_worker.py cluster processes against a fresh
     localhost coordinator; returns their result dicts (skips on timeout)."""
@@ -487,6 +507,9 @@ def test_multihost_two_process_cpu_cluster(tmp_path):
     np.testing.assert_allclose(res[0]["radial_rk"], np.asarray(ref_r.rk),
                                rtol=2e-4, atol=2e-5)
 
+    # serving path across the process boundary (VERDICT r4 item 6 depth)
+    _assert_encode_parity(res)
+
 
 def test_multihost_four_process_cpu_cluster(tmp_path):
     """4-process jax.distributed CPU cluster (VERDICT r4 item 6): the global
@@ -531,6 +554,10 @@ def test_multihost_four_process_cpu_cluster(tmp_path):
     ref_r = fit_radial(jnp.asarray(Z), jnp.asarray(mask), 0.9, 0.2)
     np.testing.assert_allclose(res[0]["radial_rk"], np.asarray(ref_r.rk),
                                rtol=2e-4, atol=2e-5)
+
+    # sharded encode over a 4-way 'data' axis: rows cross THREE process
+    # boundaries and every process still reads back the same global batch
+    _assert_encode_parity(res)
 
 
 def test_multihost_helpers_single_process():
